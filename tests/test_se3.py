@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hdl_graph_slam_tpu.core import se3
+
+
+def random_rot(rng):
+    w = rng.standard_normal(3)
+    return np.asarray(se3.so3_exp(jnp.asarray(w)))
+
+
+def test_so3_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    for scale in [1e-6, 1e-3, 0.5, 1.5, 3.0]:
+        w = rng.standard_normal(3)
+        w = w / np.linalg.norm(w) * scale
+        R = se3.so3_exp(jnp.asarray(w))
+        w2 = se3.so3_log(R)
+        np.testing.assert_allclose(np.asarray(w2), w, atol=1e-6)
+
+
+def test_so3_exp_is_rotation():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((32, 3)))
+    R = se3.so3_exp(w)
+    eye = jnp.eye(3)
+    err = jnp.max(jnp.abs(R @ jnp.swapaxes(R, -1, -2) - eye))
+    assert float(err) < 1e-6
+    det = jnp.linalg.det(R)
+    np.testing.assert_allclose(np.asarray(det), 1.0, atol=1e-6)
+
+
+def test_se3_exp_log_roundtrip():
+    rng = np.random.default_rng(2)
+    xi = jnp.asarray(rng.standard_normal((16, 6)))
+    T = se3.se3_exp(xi)
+    xi2 = se3.se3_log(T)
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-6)
+
+
+def test_inverse_compose():
+    rng = np.random.default_rng(3)
+    xi = jnp.asarray(rng.standard_normal(6))
+    T = se3.se3_exp(xi)
+    eye = se3.compose(T, se3.inverse(T))
+    np.testing.assert_allclose(np.asarray(eye), np.eye(4), atol=1e-6)
+
+
+def test_quat_roundtrip():
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        w = rng.standard_normal(3) * 2.0
+        R = se3.so3_exp(jnp.asarray(w))
+        q = se3.quat_from_mat(R)
+        R2 = se3.mat_from_quat(q)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-6)
+
+
+def test_quat_near_pi():
+    # rotation of pi about z: trace = -1, exercises non-w branches
+    R = jnp.asarray(np.diag([-1.0, -1.0, 1.0]))
+    q = se3.quat_from_mat(R)
+    R2 = se3.mat_from_quat(q)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-6)
+
+
+def test_mqt_roundtrip():
+    rng = np.random.default_rng(5)
+    delta = jnp.asarray(rng.standard_normal(6) * 0.3)
+    T = se3.mqt_exp(delta)
+    d2 = se3.mqt_log(T)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(delta), atol=1e-6)
+
+
+def test_mqt_exp_matches_quaternion_semantics():
+    # for pure translation the MQT increment is exact
+    delta = jnp.asarray([1.0, 2.0, 3.0, 0.0, 0.0, 0.0])
+    T = se3.mqt_exp(delta)
+    np.testing.assert_allclose(np.asarray(T[:3, 3]), [1, 2, 3], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(T[:3, :3]), np.eye(3), atol=1e-12)
+
+
+def test_transform_points():
+    rng = np.random.default_rng(6)
+    pts = jnp.asarray(rng.standard_normal((100, 3)))
+    T = se3.se3_exp(jnp.asarray(rng.standard_normal(6)))
+    out = se3.transform_points(T, pts)
+    expected = pts @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+
+
+def test_rotation_angle():
+    w = jnp.asarray([0.0, 0.0, 0.7])
+    R = se3.so3_exp(w)
+    assert abs(float(se3.rotation_angle(R)) - 0.7) < 1e-6
+
+
+def test_jit_and_vmap():
+    rng = np.random.default_rng(7)
+    xi = jnp.asarray(rng.standard_normal((8, 6)))
+    T = jax.jit(jax.vmap(se3.se3_exp))(xi)
+    assert T.shape == (8, 4, 4)
+    back = jax.jit(jax.vmap(se3.se3_log))(T)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-6)
