@@ -1,15 +1,18 @@
-"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+"""Test configuration: force pure-CPU JAX with 8 virtual devices.
 
-Mirrors the multi-host simulation pattern from SURVEY.md §4 (the reference
-has no tests; this pyramid is ours).
+The container pins JAX_PLATFORMS=axon and an axon sitecustomize imports jax
+at interpreter startup, so the env var is already latched by the time
+conftest runs; jax.config.update still works as long as no computation has
+happened. Tests run on local CPU in f64 with a virtual 8-device mesh
+(SURVEY.md §4 multi-host simulation pattern).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

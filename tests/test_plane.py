@@ -34,14 +34,16 @@ def test_ominus_zero_for_identical():
 
 
 def test_oplus_ominus_consistency():
-    # ominus(p.oplus(v), p) should recover something close to v for small v
+    # g2o convention: ominus(p.oplus(v), p) ~= (-v0, -v1, +v2) to first order
+    # (azimuth/elevation flip sign because ominus rotates into the *new*
+    # plane's frame; the distance term is direct).
     rng = np.random.default_rng(1)
     c = plane.normalize(jnp.asarray([0.1, 0.2, 0.97, -0.5]))
     v = jnp.asarray(rng.standard_normal(3) * 1e-4)
     c2 = plane.oplus(c, v)
     back = plane.ominus(c2, c)
-    # first-order agreement
-    np.testing.assert_allclose(np.asarray(back), np.asarray(v), atol=1e-7)
+    expected = np.asarray(v) * np.array([-1.0, -1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(back), expected, atol=1e-7)
 
 
 def test_transform_preserves_point_membership():

@@ -34,7 +34,11 @@ def test_so3_exp_is_rotation():
 
 def test_se3_exp_log_roundtrip():
     rng = np.random.default_rng(2)
-    xi = jnp.asarray(rng.standard_normal((16, 6)))
+    xi = rng.standard_normal((16, 6))
+    # keep rotation magnitude within (0, pi) where log is the exact inverse
+    wn = np.linalg.norm(xi[:, 3:], axis=-1, keepdims=True)
+    xi[:, 3:] *= 2.8 / np.maximum(wn, 2.8 / 0.9)
+    xi = jnp.asarray(xi)
     T = se3.se3_exp(xi)
     xi2 = se3.se3_log(T)
     np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-6)
