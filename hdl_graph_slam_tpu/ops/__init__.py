@@ -1,1 +1,1 @@
-
+from . import voxel, filters, knn, normals, ransac

@@ -110,6 +110,11 @@ def occupied_voxel_centers(cloud: PointCloud, resolution, max_voxels: int) -> Po
     return PointCloud(xyz=centers, mask=out_mask)
 
 
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GaussianVoxels:
     """Per-voxel Gaussian statistics (mean, covariance, count) as a sorted
     struct-of-arrays table — the TPU replacement for ndt_omp's VoxelGridCovariance
@@ -119,16 +124,15 @@ class GaussianVoxels:
     gathers, no host hash map, no capacity collisions.
     """
 
-    def __init__(self, keys, means, covs, counts, mask, resolution):
-        self.keys = keys  # (V,) int64 sorted, invalid = sentinel
-        self.means = means  # (V, 3)
-        self.covs = covs  # (V, 3, 3)
-        self.counts = counts  # (V,)
-        self.mask = mask  # (V,) bool
-        self.resolution = resolution
+    keys: jax.Array  # (V,) int64 sorted, invalid = sentinel
+    means: jax.Array  # (V, 3)
+    covs: jax.Array  # (V, 3, 3)
+    counts: jax.Array  # (V,)
+    mask: jax.Array  # (V,) bool
+    resolution: jax.Array  # () float
 
 
-@partial(jax.jit, static_argnames=("max_voxels", "min_points"))
+@partial(jax.jit, static_argnames=("max_voxels", "min_points", "regularize"))
 def build_gaussian_voxels(
     cloud: PointCloud,
     resolution,
@@ -177,7 +181,7 @@ def build_gaussian_voxels(
         covs=covs,
         counts=counts,
         mask=vmask,
-        resolution=resolution,
+        resolution=jnp.asarray(resolution),
     )
 
 

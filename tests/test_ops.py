@@ -1,0 +1,195 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdl_graph_slam_tpu.core import cloud as cloudlib
+from hdl_graph_slam_tpu.ops import filters, knn, normals, ransac, voxel
+
+
+def make_cloud(n=500, seed=0, scale=10.0, cap=None):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-scale, scale, size=(n, 3))
+    return cloudlib.from_numpy(pts, capacity=cap), pts
+
+
+class TestKNN:
+    def test_nn1_exact(self):
+        c1, q = make_cloud(300, seed=1)
+        c2, t = make_cloud(400, seed=2)
+        idx, d2 = knn.nn1(c1.valid_xyz(), c2.valid_xyz())
+        # numpy brute force over the valid points
+        d_full = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+        expect_idx = d_full.argmin(1)
+        expect_d2 = d_full.min(1)
+        got_idx = np.asarray(idx)[:300]
+        got_d2 = np.asarray(d2)[:300]
+        np.testing.assert_allclose(got_d2, expect_d2, rtol=1e-5)
+        assert (got_idx == expect_idx).mean() > 0.999
+
+    def test_knn_exact(self):
+        c1, q = make_cloud(128, seed=3)
+        c2, t = make_cloud(256, seed=4)
+        idx, d2 = knn.knn(c1.valid_xyz(), c2.valid_xyz(), k=5)
+        d_full = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+        expect = np.sort(d_full, axis=1)[:, :5]
+        np.testing.assert_allclose(np.asarray(d2)[:128], expect, rtol=1e-5)
+
+    def test_padding_never_matches(self):
+        c1, _ = make_cloud(100, seed=5, cap=256)
+        c2, _ = make_cloud(50, seed=6, cap=256)
+        idx, d2 = knn.nn1(c1.valid_xyz(), c2.valid_xyz())
+        # all matches must land on valid target rows (< 50)
+        assert np.asarray(idx)[:100].max() < 50
+
+    def test_radius_count(self):
+        c, pts = make_cloud(200, seed=7, scale=2.0)
+        r = 0.8
+        counts = knn.radius_count(c.valid_xyz(), c.valid_xyz(), r)
+        d_full = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        expect = (d_full < r).sum(1)  # includes self
+        np.testing.assert_array_equal(np.asarray(counts)[:200], expect)
+
+    def test_fitness_score(self):
+        c, pts = make_cloud(300, seed=8)
+        T = np.eye(4)
+        T[:3, 3] = [0.05, 0.0, 0.0]
+        score = knn.fitness_score(
+            c.valid_xyz(), c.xyz, c.mask, jnp.asarray(T)
+        )
+        # shifting by 0.05 gives mean sq dist <= 0.0025
+        assert 0 < float(score) <= 0.0025 + 1e-9
+
+
+class TestVoxel:
+    def test_centroid_downsample(self):
+        pts = np.array(
+            [[0.1, 0.1, 0.1], [0.3, 0.2, 0.15], [2.1, 0.1, 0.1], [2.3, 0.3, 0.3]]
+        )
+        c = cloudlib.from_numpy(pts, capacity=8)
+        out = voxel.voxel_downsample(c, 1.0, max_voxels=8)
+        got = out.to_numpy()
+        assert got.shape[0] == 2
+        got = got[np.argsort(got[:, 0])]
+        np.testing.assert_allclose(got[0], [0.2, 0.15, 0.125], atol=1e-6)
+        np.testing.assert_allclose(got[1], [2.2, 0.2, 0.2], atol=1e-6)
+
+    def test_downsample_counts(self):
+        c, pts = make_cloud(2000, seed=9, scale=5.0)
+        out = voxel.voxel_downsample(c, 1.0, max_voxels=2048)
+        expect_vox = len(set(map(tuple, np.floor(pts / 1.0).astype(int))))
+        assert int(out.count) == expect_vox
+
+    def test_negative_coords(self):
+        pts = np.array([[-0.5, -0.5, -0.5], [-0.4, -0.6, -0.5], [0.5, 0.5, 0.5]])
+        c = cloudlib.from_numpy(pts, capacity=8)
+        out = voxel.voxel_downsample(c, 1.0, max_voxels=8)
+        assert int(out.count) == 2
+
+    def test_occupied_voxel_centers(self):
+        pts = np.array([[0.2, 0.2, 0.2], [0.8, 0.8, 0.8], [1.5, 0.5, 0.5]])
+        c = cloudlib.from_numpy(pts, capacity=8)
+        out = voxel.occupied_voxel_centers(c, 1.0, max_voxels=8)
+        got = out.to_numpy()
+        got = got[np.argsort(got[:, 0])]
+        np.testing.assert_allclose(got[0], [0.5, 0.5, 0.5], atol=1e-6)
+        np.testing.assert_allclose(got[1], [1.5, 0.5, 0.5], atol=1e-6)
+
+    def test_gaussian_voxels(self):
+        rng = np.random.default_rng(10)
+        pts = rng.normal(scale=0.05, size=(100, 3)) + np.array([0.5, 0.5, 0.5])
+        c = cloudlib.from_numpy(pts, capacity=128)
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=16, min_points=6)
+        assert int(jnp.sum(gv.mask)) == 1
+        i = int(jnp.argmax(gv.mask))
+        np.testing.assert_allclose(np.asarray(gv.means[i]), pts.mean(0), atol=1e-6)
+        emp_cov = np.cov(pts.T, bias=True)
+        np.testing.assert_allclose(np.asarray(gv.covs[i]), emp_cov, atol=1e-3)
+
+    def test_voxel_lookup(self):
+        c, pts = make_cloud(500, seed=11, scale=4.0)
+        gv = voxel.build_gaussian_voxels(c, 2.0, max_voxels=256, min_points=1)
+        keys = voxel.voxel_keys(c.xyz, c.mask, 2.0)
+        idx, found = voxel.lookup_voxels(gv, keys)
+        assert bool(jnp.all(found[:500]))
+        # each point's voxel mean must be within half-diagonal of the point
+        means = gv.means[idx]
+        d = jnp.linalg.norm(means[:500] - c.xyz[:500], axis=-1)
+        assert float(jnp.max(d)) < 2.0 * np.sqrt(3)
+
+    def test_neighbor_offsets(self):
+        off7 = voxel.neighbor_offsets("DIRECT7")
+        assert off7.shape == (7, 3)
+        keys = jnp.asarray([voxel.voxel_keys(jnp.zeros((1, 3)), jnp.ones(1, dtype=bool), 1.0)[0]])
+        nk = voxel.offset_keys(keys, off7)
+        assert nk.shape == (1, 7)
+        assert len(set(np.asarray(nk[0]).tolist())) == 7
+
+
+class TestFilters:
+    def test_distance_filter(self):
+        pts = np.array([[0.5, 0, 0], [5, 0, 0], [200, 0, 0]])
+        c = cloudlib.from_numpy(pts, capacity=8)
+        out = filters.distance_filter(c, 1.0, 100.0)
+        assert int(out.count) == 1
+        np.testing.assert_allclose(out.to_numpy()[0], [5, 0, 0])
+
+    def test_radius_outlier(self):
+        rng = np.random.default_rng(12)
+        cluster = rng.normal(scale=0.1, size=(50, 3))
+        outlier = np.array([[50.0, 50.0, 50.0]])
+        c = cloudlib.from_numpy(np.vstack([cluster, outlier]), capacity=64)
+        out = filters.radius_outlier_removal(c, radius=1.0, min_neighbors=2)
+        assert int(out.count) == 50
+
+    def test_statistical_outlier(self):
+        rng = np.random.default_rng(13)
+        cluster = rng.uniform(-1, 1, size=(100, 3))
+        outlier = np.array([[30.0, 0.0, 0.0]])
+        c = cloudlib.from_numpy(np.vstack([cluster, outlier]), capacity=128)
+        out = filters.statistical_outlier_removal(c, mean_k=10, stddev_mul_thresh=1.0)
+        m = np.asarray(out.mask)
+        assert not m[100]  # outlier dropped
+        assert m[:100].sum() > 80  # most of the cluster kept
+
+    def test_plane_clip(self):
+        pts = np.array([[0, 0, 1.0], [0, 0, -1.0]])
+        c = cloudlib.from_numpy(pts, capacity=4)
+        # plane z = 0 with normal +z: signed dist of p0 = +1, p1 = -1
+        keep_pos = filters.plane_clip(c, jnp.asarray([0.0, 0, 1, 0]), negative=False)
+        assert np.asarray(keep_pos.mask)[:2].tolist() == [True, False]
+        keep_neg = filters.plane_clip(c, jnp.asarray([0.0, 0, 1, 0]), negative=True)
+        assert np.asarray(keep_neg.mask)[:2].tolist() == [False, True]
+
+    def test_deskew_identity_for_zero_angvel(self):
+        c, pts = make_cloud(50, seed=14)
+        out = filters.deskew(c, jnp.zeros(3), 0.1)
+        np.testing.assert_allclose(out.to_numpy(), pts, atol=1e-7)
+
+
+class TestNormals:
+    def test_plane_normals(self):
+        rng = np.random.default_rng(15)
+        pts = np.zeros((200, 3))
+        pts[:, :2] = rng.uniform(-5, 5, size=(200, 2))
+        c = cloudlib.from_numpy(pts, capacity=256)
+        n = normals.estimate_normals(c, k=10, viewpoint=jnp.asarray([0.0, 0, 10.0]))
+        nz = np.asarray(n)[:200, 2]
+        np.testing.assert_allclose(nz, np.ones(200), atol=1e-5)
+
+
+class TestRansac:
+    def test_fit_floor_plane(self):
+        rng = np.random.default_rng(16)
+        n_plane, n_noise = 400, 100
+        plane_pts = np.zeros((n_plane, 3))
+        plane_pts[:, :2] = rng.uniform(-10, 10, size=(n_plane, 2))
+        plane_pts[:, 2] = -1.8 + rng.normal(scale=0.02, size=n_plane)
+        noise = rng.uniform(-10, 10, size=(n_noise, 3))
+        c = cloudlib.from_numpy(np.vstack([plane_pts, noise]), capacity=512)
+        res = ransac.fit_plane(c, jax.random.PRNGKey(0), distance_thresh=0.1)
+        coeffs = np.asarray(res.coeffs)
+        if coeffs[2] < 0:
+            coeffs = -coeffs
+        np.testing.assert_allclose(coeffs[:3], [0, 0, 1], atol=0.02)
+        assert abs(coeffs[3] - 1.8) < 0.05
+        assert int(res.num_inliers) > 350
