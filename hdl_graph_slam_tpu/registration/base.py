@@ -1,0 +1,116 @@
+"""Registration interface shared by ICP/GICP/VGICP/NDT.
+
+Mirrors the surface the reference uses from pcl::Registration
+(src/hdl_graph_slam/registrations.cpp, scan_matching_odometry_nodelet.cpp:210,
+loop_detector.hpp:135-154): set a target once (amortized preprocessing),
+align many sources against it with an initial guess, read back the final
+transformation / convergence / fitness.
+
+TPU design: ``preprocess_target`` produces an immutable pytree of device
+arrays; ``align`` is a pure jitted function (target_state, source, guess) ->
+AlignResult, so loop-closure candidate matching can ``vmap`` it over a batch
+of candidates — replacing the reference's sequential candidate loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AlignResult(NamedTuple):
+    transformation: jax.Array  # (4, 4) final source->target transform
+    converged: jax.Array  # () bool — converged within max_iterations
+    iterations: jax.Array  # () int32 — outer iterations executed
+    error: jax.Array  # () float — final objective value (method-specific)
+    num_inliers: jax.Array  # () int32 — correspondences used in last step
+
+
+def se3_delta_converged(delta: jax.Array, epsilon) -> jax.Array:
+    """Convergence test on an incremental transform, following
+    fast_gicp::LsqRegistration::is_converged: the update's rotation block
+    (scaled by 2) and translation must both be elementwise below epsilon."""
+    R = delta[:3, :3]
+    t = delta[:3, 3]
+    rot_small = jnp.max(jnp.abs(2.0 * (R - jnp.eye(3, dtype=delta.dtype)))) < epsilon
+    trans_small = jnp.max(jnp.abs(t)) < epsilon
+    return rot_small & trans_small
+
+
+class LMState(NamedTuple):
+    T: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    it: jax.Array
+    converged: jax.Array
+    num_inliers: jax.Array
+    error: jax.Array
+
+
+def lm_loop(
+    linearize,
+    cost_only,
+    guess: jax.Array,
+    max_iterations: int,
+    transformation_epsilon,
+    lm_init_lambda_factor=1e-9,
+) -> AlignResult:
+    """Levenberg-Marquardt over SE(3) with Nielsen damping, shared by
+    GICP/VGICP (fast_gicp LsqRegistration::step_lm structure).
+
+    ``linearize(T) -> (H, b, cost, num_inliers)`` with H (6,6), b = J^T W e;
+    ``cost_only(T) -> cost``. The left-multiplied increment exp(d) is applied
+    as T <- exp(d) @ T. One trial per while_loop step: rejected trials
+    re-linearize at the unchanged pose (identical H, b), keeping shapes
+    static; semantics match the reference's nested accept/reject loop.
+    """
+    from ..core import se3  # local import to avoid cycle
+
+    dtype = guess.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    H0, b0, cost0, n0 = linearize(guess)
+    lam0 = lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H0)))
+
+    def cond(s: LMState):
+        return (s.it < max_iterations) & jnp.logical_not(s.converged)
+
+    def body(s: LMState):
+        H, b, cost, ninl = linearize(s.T)
+        d = -jnp.linalg.solve(H + s.lam * eye6, b)
+        delta = se3.se3_exp(d)
+        T_new = delta @ s.T
+        cost_new = cost_only(T_new)
+        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        denom = jnp.dot(d, s.lam * d - b)
+        rho = (cost - cost_new) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+
+        lam_acc = s.lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_rej = s.lam * s.nu
+        lam = jnp.where(accept, lam_acc, lam_rej)
+        nu = jnp.where(accept, 2.0, 2.0 * s.nu)
+        T = jnp.where(accept, T_new, s.T)
+        conv = accept & se3_delta_converged(delta, transformation_epsilon)
+        return LMState(T=T, lam=lam, nu=nu, it=s.it + 1, converged=conv,
+                       num_inliers=ninl, error=jnp.where(accept, cost_new, cost))
+
+    init = LMState(
+        T=guess,
+        lam=jnp.asarray(lam0, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        num_inliers=n0,
+        error=cost0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return AlignResult(
+        transformation=final.T,
+        converged=final.converged,
+        iterations=final.it,
+        error=final.error,
+        num_inliers=final.num_inliers,
+    )

@@ -1,0 +1,157 @@
+"""GICP (plane-to-plane ICP) with fast_gicp::FastGICP semantics, TPU-native.
+
+Reference usage: src/hdl_graph_slam/registrations.cpp:27-35 (FAST_GICP is the
+launch default), parameters reg_transformation_epsilon=0.01,
+reg_maximum_iterations=64, reg_max_correspondence_distance=2.5,
+reg_correspondence_randomness=20 (launch/hdl_graph_slam.launch:73-82).
+
+Algorithm (Segal et al. 2009, as implemented by fast_gicp):
+- per-point covariances from the k=20 nearest neighbors, eigenvalues
+  regularized to (1, 1, 1e-3) ("plane" regularization);
+- per iteration: 1-NN correspondences of the transformed source in the
+  target, gated by max_correspondence_distance; Mahalanobis weight
+  M_i = (C_b + T C_a T^T)^-1; residual e_i = b - T a;
+- Levenberg-Marquardt on SE(3) with Nielsen damping (fast_gicp
+  LsqRegistration::step_lm), convergence when the incremental update is
+  elementwise below transformation_epsilon.
+
+TPU mapping: correspondences ride the MXU brute-force NN (ops/knn.py);
+Mahalanobis solves are batched closed-form 3x3 inverses; H/b assembly is one
+einsum; the optimizer is a lax.while_loop with all state on device. The
+whole align() is one compiled program — and is vmappable over candidate
+batches for loop closure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.cloud import PointCloud
+from ..ops import knn
+from .base import AlignResult, lm_loop
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GicpCloud:
+    """A cloud preprocessed for GICP: points + regularized covariances."""
+
+    xyz: jax.Array  # (N, 3)
+    mask: jax.Array  # (N,)
+    covs: jax.Array  # (N, 3, 3)
+
+
+def _regularize_covs_plane(covs: jax.Array) -> jax.Array:
+    """fast_gicp RegularizationMethod::PLANE: eigenvalues -> (1e-3, 1, 1)."""
+    evals, evecs = jnp.linalg.eigh(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
+    new_evals = jnp.asarray([1e-3, 1.0, 1.0], dtype=covs.dtype)
+    return jnp.einsum("nij,j,nkj->nik", evecs, new_evals, evecs)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def preprocess(cloud: PointCloud, k: int = 20) -> GicpCloud:
+    """Compute per-point regularized covariances from k nearest neighbors
+    (fast_gicp calculate_covariances; k = correspondence_randomness)."""
+    xyz = cloud.valid_xyz()
+    idx, _ = knn.knn(xyz, xyz, k)
+    nbrs = xyz[idx]  # (N, k, 3)
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    centered = nbrs - mean
+    covs = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    covs = _regularize_covs_plane(covs)
+    covs = jnp.where(cloud.mask[:, None, None], covs, jnp.eye(3, dtype=covs.dtype))
+    return GicpCloud(xyz=cloud.xyz, mask=cloud.mask, covs=covs)
+
+
+def _inv3x3(m: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse (adjugate/determinant)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _linearize(T, src: GicpCloud, tgt: GicpCloud, max_corr_dist):
+    """One GICP linearization: correspondences, Mahalanobis, H, b, cost."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    moved_q = jnp.where(src.mask[:, None], moved, 1.0e6)
+    idx, d2 = knn.nn1(moved_q, jnp.where(tgt.mask[:, None], tgt.xyz, 1.0e6))
+    valid = src.mask & tgt.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+
+    cov_b = tgt.covs[idx]
+    RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
+    M = _inv3x3(cov_b + RCA)  # (N, 3, 3) mahalanobis weights
+    w = valid.astype(T.dtype)
+    Mw = M * w[:, None, None]
+
+    e = tgt.xyz[idx] - moved  # (N, 3)
+    # J_i = d e / d [v, w] for left-multiplied increment exp([v,w]) T:
+    # e(delta) ~= e - v - w x (T a)  =>  J = [-I | skew(moved)]
+    skew = se3.hat(moved)  # (N, 3, 3)
+    J = jnp.concatenate([-jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), skew.shape), skew], axis=-1)  # (N,3,6)
+
+    MJ = jnp.einsum("nij,njk->nik", Mw, J)
+    H = jnp.einsum("nji,njk->ik", J, MJ)  # (6,6)
+    b = jnp.einsum("nji,njk,nk->i", J, Mw, e)  # (6,) = J^T M e
+    cost = jnp.einsum("ni,nij,nj->", e, Mw, e)
+    return H, b, cost, jnp.sum(valid.astype(jnp.int32))
+
+
+def _cost_only(T, src: GicpCloud, tgt: GicpCloud, max_corr_dist):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    moved_q = jnp.where(src.mask[:, None], moved, 1.0e6)
+    idx, d2 = knn.nn1(moved_q, jnp.where(tgt.mask[:, None], tgt.xyz, 1.0e6))
+    valid = src.mask & tgt.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+    cov_b = tgt.covs[idx]
+    RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
+    M = _inv3x3(cov_b + RCA)
+    e = tgt.xyz[idx] - moved
+    w = valid.astype(T.dtype)
+    return jnp.einsum("ni,nij,nj->", e, M * w[:, None, None], e)
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def align(
+    tgt: GicpCloud,
+    src: GicpCloud,
+    guess: jax.Array,
+    max_corr_dist=2.5,
+    transformation_epsilon=0.01,
+    max_iterations: int = 64,
+    lm_init_lambda_factor=1e-9,
+) -> AlignResult:
+    """Align source onto target starting from ``guess`` (4x4).
+
+    Follows fast_gicp's LM loop (see base.lm_loop).
+    """
+    return lm_loop(
+        linearize=lambda T: _linearize(T, src, tgt, max_corr_dist),
+        cost_only=lambda T: _cost_only(T, src, tgt, max_corr_dist),
+        guess=guess,
+        max_iterations=max_iterations,
+        transformation_epsilon=transformation_epsilon,
+        lm_init_lambda_factor=lm_init_lambda_factor,
+    )

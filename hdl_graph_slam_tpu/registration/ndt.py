@@ -1,0 +1,195 @@
+"""NDT (Normal Distributions Transform) with pclomp semantics, TPU-native.
+
+Reference usage: src/hdl_graph_slam/registrations.cpp:100-121
+(pclomp::NormalDistributionsTransform with reg_resolution, DIRECT7/DIRECT1
+neighborhood search, transformation_epsilon, max_iterations).
+
+Algorithm (Magnusson 2009 / PCL NDT):
+- target voxelized into Gaussian cells (mean + regularized covariance,
+  min 6 points per cell — ops/voxel.build_gaussian_voxels);
+- mixture score per transformed source point over the DIRECT7 neighbor
+  cells: -d1 * exp(-d2/2 * q^T S^-1 q), with d1/d2 from outlier_ratio 0.55;
+- Newton iterations on the 6-dof pose, step length bounded by step_size
+  (PCL default 0.1) via line search.
+
+TPU mapping: voxel lookup is a searchsorted binary search over the sorted
+cell-key table (no kd-tree); gradient and Hessian come from jax.grad/hessian
+of the score through the left-multiplied twist at zero; the More-Thuente
+line search becomes a *parallel* line search — all candidate step lengths
+are scored in one batched evaluation and the best is selected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.cloud import PointCloud
+from ..ops import voxel as voxelops
+from .base import AlignResult
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NdtTarget:
+    voxels: voxelops.GaussianVoxels
+    icovs: jax.Array  # (V, 3, 3) inverse cell covariances
+    d1: jax.Array
+    d2: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_voxels",))
+def preprocess_target(
+    cloud: PointCloud,
+    resolution,
+    max_voxels: int = 8192,
+    outlier_ratio=0.55,
+) -> NdtTarget:
+    """Build the Gaussian cell grid + mixture constants (PCL NDT init)."""
+    gv = voxelops.build_gaussian_voxels(cloud, resolution, max_voxels, min_points=6, regularize="ndt")
+    icovs = jnp.linalg.inv(gv.covs + 1e-6 * jnp.eye(3, dtype=gv.covs.dtype))
+    icovs = jnp.where(gv.mask[:, None, None], icovs, 0.0)
+    # PCL NormalDistributionsTransform::init gaussian mixture constants
+    res = jnp.asarray(resolution, dtype=cloud.xyz.dtype)
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / (res**3)
+    d3 = -jnp.log(c2)
+    d1 = -jnp.log(c1 + c2) - d3
+    d2 = -2.0 * jnp.log((-jnp.log(c1 * jnp.exp(-0.5) + c2) - d3) / d1)
+    return NdtTarget(voxels=gv, icovs=icovs, d1=d1, d2=d2)
+
+
+def _gather_cells(tgt: NdtTarget, pts: jax.Array, mask: jax.Array, offsets: jax.Array):
+    """For each point: indices+found flags of its neighbor cells (N, K)."""
+    keys = voxelops.voxel_keys(pts, mask, tgt.voxels.resolution)
+    nkeys = voxelops.offset_keys(keys, offsets)  # (N, K)
+    idx, found = voxelops.lookup_voxels(tgt.voxels, nkeys.reshape(-1))
+    K = offsets.shape[0]
+    return idx.reshape(-1, K), found.reshape(-1, K)
+
+
+def _score(tgt: NdtTarget, moved: jax.Array, mask: jax.Array, means, icovs, found):
+    """Negative NDT score (to minimize): sum_i sum_k d1 exp(-d2/2 q M q).
+
+    d1 < 0, so each found cell contributes a negative value; fewer/worse
+    matches -> score closer to 0.
+    """
+    q = moved[:, None, :] - means  # (N, K, 3)
+    md = jnp.einsum("nki,nkij,nkj->nk", q, icovs, q)
+    e = tgt.d1 * jnp.exp(-0.5 * tgt.d2 * md)
+    w = (found & mask[:, None]).astype(moved.dtype)
+    return jnp.sum(e * w)
+
+
+class _NewtonState(NamedTuple):
+    T: jax.Array
+    it: jax.Array
+    converged: jax.Array
+    score: jax.Array
+    num_inliers: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "nn_search_method", "num_line_search"))
+def align(
+    tgt: NdtTarget,
+    src: PointCloud,
+    guess: jax.Array,
+    transformation_epsilon=0.01,
+    max_iterations: int = 64,
+    step_size=0.1,
+    nn_search_method: str = "DIRECT7",
+    num_line_search: int = 10,
+) -> AlignResult:
+    """Newton-optimize the NDT mixture score from ``guess``."""
+    offsets = voxelops.neighbor_offsets(nn_search_method)
+    dtype = guess.dtype
+    src_xyz = src.xyz
+    src_mask = src.mask
+
+    def full_score(T):
+        moved = se3.transform_points(T, src_xyz)
+        idx, found = _gather_cells(tgt, moved, src_mask, offsets)
+        means = tgt.voxels.means[idx]
+        icovs = tgt.icovs[idx]
+        ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
+        return _score(tgt, moved, src_mask, means, icovs, found), ninl
+
+    def cond(s: _NewtonState):
+        return (s.it < max_iterations) & jnp.logical_not(s.converged)
+
+    def body(s: _NewtonState):
+        # correspondences at the current pose (fixed during differentiation,
+        # like PCL's per-iteration voxel association)
+        moved0 = se3.transform_points(s.T, src_xyz)
+        idx, found = _gather_cells(tgt, moved0, src_mask, offsets)
+        means = tgt.voxels.means[idx]
+        icovs = tgt.icovs[idx]
+
+        def loss(delta):
+            T = se3.se3_exp(delta) @ s.T
+            moved = se3.transform_points(T, src_xyz)
+            return _score(tgt, moved, src_mask, means, icovs, found)
+
+        zero = jnp.zeros((6,), dtype)
+        g = jax.grad(loss)(zero)
+        H = jax.hessian(loss)(zero)
+        # PD correction (PCL adds a multiple of I when H has negative evals).
+        # The margin is proportional to the spectrum scale so the corrected
+        # system stays well-conditioned in f32 — a fixed tiny margin leaves a
+        # near-singular direction and the solve can emit an ascent direction.
+        evals = jnp.linalg.eigvalsh(H)
+        min_eval = evals[0]
+        margin = 1e-3 * jnp.maximum(jnp.max(jnp.abs(evals)), 1.0)
+        H = H + jnp.where(min_eval < margin, (margin - min_eval), 0.0) * jnp.eye(6, dtype=dtype)
+        d = -jnp.linalg.solve(H, g)
+        # guaranteed descent: fall back to steepest descent if the solve
+        # still produced an ascent direction numerically
+        d = jnp.where(jnp.dot(g, d) < 0.0, d, -g)
+        dnorm = jnp.linalg.norm(d)
+        ddir = d / jnp.where(dnorm < 1e-12, 1.0, dnorm)
+
+        # parallel line search over step lengths in (0, step_size]
+        base = jnp.minimum(dnorm, step_size)
+        alphas = base * (0.5 ** jnp.arange(num_line_search, dtype=dtype))
+
+        def trial(alpha):
+            T = se3.se3_exp(alpha * ddir) @ s.T
+            moved = se3.transform_points(T, src_xyz)
+            i2, f2 = _gather_cells(tgt, moved, src_mask, offsets)
+            return _score(tgt, moved, src_mask, tgt.voxels.means[i2], tgt.icovs[i2], f2)
+
+        trial_scores = jax.vmap(trial)(alphas)
+        best = jnp.argmin(trial_scores)
+        best_score = trial_scores[best]
+        improve = best_score < s.score
+        alpha = jnp.where(improve, alphas[best], 0.0)
+        T_new = se3.se3_exp(alpha * ddir) @ s.T
+        new_score = jnp.where(improve, best_score, s.score)
+        # converged when the applied update is below epsilon (PCL: incremental
+        # transform norm < transformation_epsilon). A failed line search with
+        # candidates spanning base..base/2^K counts as a vanishing step.
+        conv = alpha < transformation_epsilon
+        _, ninl = full_score(T_new)
+        return _NewtonState(T=T_new, it=s.it + 1, converged=conv, score=new_score, num_inliers=ninl)
+
+    s0, n0 = full_score(guess)
+    init = _NewtonState(
+        T=guess,
+        it=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        score=s0,
+        num_inliers=n0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return AlignResult(
+        transformation=final.T,
+        converged=final.converged,
+        iterations=final.it,
+        error=final.score,
+        num_inliers=final.num_inliers,
+    )

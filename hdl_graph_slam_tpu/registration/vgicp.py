@@ -1,0 +1,130 @@
+"""Voxelized GICP with fast_gicp::FastVGICP semantics, TPU-native.
+
+Reference usage: src/hdl_graph_slam/registrations.cpp:48-56 (FAST_VGICP /
+FAST_VGICP_CUDA): reg_resolution voxel size, otherwise GICP parameters.
+
+Algorithm (Koide et al. 2021): the target's per-point GICP covariances are
+aggregated per voxel (mean of point means, mean of point covariances —
+fast_gicp GaussianVoxel ADDITIVE mode); each source point matches its
+containing voxel directly (no NN search in the iteration loop), then the
+usual distribution-to-distribution Mahalanobis LM.
+
+This maps even better onto TPU than GICP: the per-iteration correspondence
+is a binary search into the sorted voxel table instead of a brute-force NN,
+so the compute is dominated by the batched 3x3 algebra on the VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.cloud import PAD_COORD, PointCloud
+from ..ops import voxel as voxelops
+from .base import AlignResult, lm_loop
+from .gicp import GicpCloud, _inv3x3, preprocess as gicp_preprocess
+
+_INVALID_KEY = jnp.iinfo(jnp.int64).max
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VgicpTarget:
+    keys: jax.Array  # (V,) sorted voxel keys
+    means: jax.Array  # (V, 3)
+    covs: jax.Array  # (V, 3, 3) voxel-aggregated GICP covariances
+    mask: jax.Array  # (V,)
+    resolution: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_voxels", "k"))
+def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: int = 20) -> VgicpTarget:
+    """Per-point GICP covariances -> voxel-aggregated Gaussians."""
+    gc = gicp_preprocess(cloud, k=k)
+    keys = voxelops.voxel_keys(cloud.xyz, cloud.mask, resolution)
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    valid_s = keys_s != _INVALID_KEY
+    xyz_s = jnp.where(valid_s[:, None], cloud.xyz[order], 0.0)
+    covs_s = jnp.where(valid_s[:, None, None], gc.covs[order], 0.0)
+
+    starts = jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
+    seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(valid_s.astype(xyz_s.dtype), seg, num_segments=max_voxels)
+    mean = jax.ops.segment_sum(xyz_s, seg, num_segments=max_voxels) / jnp.clip(counts[:, None], 1.0, None)
+    cov = jax.ops.segment_sum(covs_s.reshape(-1, 9), seg, num_segments=max_voxels).reshape(-1, 3, 3)
+    cov = cov / jnp.clip(counts[:, None, None], 1.0, None)
+    seg_keys = jax.ops.segment_max(keys_s, seg, num_segments=max_voxels)
+    vmask = (counts > 0) & (seg_keys != _INVALID_KEY)
+    return VgicpTarget(
+        keys=jnp.where(vmask, seg_keys, _INVALID_KEY),
+        means=jnp.where(vmask[:, None], mean, PAD_COORD),
+        covs=cov,
+        mask=vmask,
+        resolution=jnp.asarray(resolution),
+    )
+
+
+def _correspond(tgt: VgicpTarget, moved: jax.Array, mask: jax.Array):
+    keys = voxelops.voxel_keys(moved, mask, tgt.resolution)
+    idx = jnp.clip(jnp.searchsorted(tgt.keys, keys), 0, tgt.keys.shape[0] - 1)
+    found = (tgt.keys[idx] == keys) & tgt.mask[idx] & mask
+    return idx, found
+
+
+def _linearize(T, src: GicpCloud, tgt: VgicpTarget):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    idx, found = _correspond(tgt, moved, src.mask)
+    cov_b = tgt.covs[idx]
+    RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
+    M = _inv3x3(cov_b + RCA)
+    w = found.astype(T.dtype)
+    Mw = M * w[:, None, None]
+    e = tgt.means[idx] - moved
+    e = jnp.where(found[:, None], e, 0.0)
+    skew = se3.hat(moved)
+    J = jnp.concatenate([-jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), skew.shape), skew], axis=-1)
+    MJ = jnp.einsum("nij,njk->nik", Mw, J)
+    H = jnp.einsum("nji,njk->ik", J, MJ)
+    b = jnp.einsum("nji,njk,nk->i", J, Mw, e)
+    cost = jnp.einsum("ni,nij,nj->", e, Mw, e)
+    return H, b, cost, jnp.sum(found.astype(jnp.int32))
+
+
+def _cost_only(T, src: GicpCloud, tgt: VgicpTarget):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    idx, found = _correspond(tgt, moved, src.mask)
+    cov_b = tgt.covs[idx]
+    RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
+    M = _inv3x3(cov_b + RCA)
+    e = tgt.means[idx] - moved
+    e = jnp.where(found[:, None], e, 0.0)
+    w = found.astype(T.dtype)
+    return jnp.einsum("ni,nij,nj->", e, M * w[:, None, None], e)
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def align(
+    tgt: VgicpTarget,
+    src: GicpCloud,
+    guess: jax.Array,
+    transformation_epsilon=0.01,
+    max_iterations: int = 64,
+    lm_init_lambda_factor=1e-9,
+) -> AlignResult:
+    return lm_loop(
+        linearize=lambda T: _linearize(T, src, tgt),
+        cost_only=lambda T: _cost_only(T, src, tgt),
+        guess=guess,
+        max_iterations=max_iterations,
+        transformation_epsilon=transformation_epsilon,
+        lm_init_lambda_factor=lm_init_lambda_factor,
+    )
