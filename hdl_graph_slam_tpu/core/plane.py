@@ -69,6 +69,32 @@ def ominus(coeffs_self, coeffs_other):
     return jnp.stack([azimuth(n), elevation(n), d], axis=-1)
 
 
+def ominus_safe(coeffs_self, coeffs_other):
+    """Pole-safe variant of ominus with identical chi2 and first-order
+    behavior.
+
+    g2o's ominus builds the frame from *self*'s normal, whose azimuth/
+    elevation parameterization has a derivative singularity when the normal
+    is exactly +-z — precisely the floor-plane case (EdgeSE3Plane wiring,
+    hdl_graph_slam_nodelet.cpp:490-500). Under autodiff that produces NaN
+    Jacobians. Here the frame comes from *other* (the measurement — constant
+    under differentiation), and the azimuth/elevation are taken of
+    R(n_other)^T n_self, a vector near +x where atan2 is smooth. For
+    self = other + eps this equals g2o's error to O(|eps|^2) up to the
+    (information-invariant) sign convention, and the zero set is identical.
+    """
+    R = jnp.swapaxes(rotation_of_normal(normal(coeffs_other)), -1, -2)
+    u = jnp.einsum("...ij,...j->...i", R, normal(coeffs_self))
+    d = distance(coeffs_self) - distance(coeffs_other)
+    return jnp.stack([-azimuth(u), -elevation_from_x(u), d], axis=-1)
+
+
+def elevation_from_x(v):
+    """Elevation of a vector known to be near +x: atan2(z, |xy|) — smooth
+    there (|xy| ~ 1)."""
+    return jnp.arctan2(v[..., 2], jnp.linalg.norm(v[..., :2], axis=-1))
+
+
 def oplus(coeffs, v):
     """g2o Plane3D::oplus(v): minimal update [d_azimuth, d_elevation, d_dist].
 

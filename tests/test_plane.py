@@ -63,3 +63,29 @@ def test_transform_identity():
     c = plane.normalize(jnp.asarray([0.2, 0.3, 0.93, 0.7]))
     out = plane.transform(jnp.eye(4), c)
     np.testing.assert_allclose(np.asarray(out), np.asarray(c), atol=1e-12)
+
+
+def test_ominus_safe_matches_ominus_first_order():
+    # at generic (non-pole) configurations the safe variant equals g2o's
+    # ominus to first order up to component sign (information-invariant)
+    rng = np.random.default_rng(9)
+    base = plane.normalize(jnp.asarray([0.4, 0.5, 0.76, 1.3]))
+    for _ in range(10):
+        eps = rng.standard_normal(4) * 1e-5
+        other = plane.normalize(base + jnp.asarray(eps))
+        a = np.asarray(plane.ominus(base, other))
+        b = np.asarray(plane.ominus_safe(base, other))
+        np.testing.assert_allclose(np.abs(a), np.abs(b), atol=1e-8)
+        assert abs(np.linalg.norm(a) - np.linalg.norm(b)) < 1e-9
+
+
+def test_ominus_safe_finite_grad_at_pole():
+    import jax
+    meas = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+
+    def err(d):
+        p = plane.normalize(jnp.asarray([d[0], d[1], 1.0, d[2]]))
+        return plane.ominus_safe(p, meas)
+
+    J = jax.jacfwd(err)(jnp.zeros(3))
+    assert bool(jnp.isfinite(J).all())
