@@ -1,0 +1,320 @@
+"""Backend orchestrator: keyframe admission, multi-sensor graph construction,
+periodic optimization, map assembly.
+
+Equivalent of HdlGraphSlamNodelet (apps/hdl_graph_slam_nodelet.cpp), with the
+ROS queues/timers replaced by explicit method calls from the pipeline driver:
+- add_frame()      <- cloud_callback + KeyframeUpdater gate (:149-178)
+- add_gps/imu/floor <- the sensor callbacks (:252-282, 360-366, 457-467)
+- optimize_cycle() <- optimization_timer_callback (:546-612)
+- generate_map()   <- map_points_publish_timer_callback (:517-540)
+- save_map/dump/load <- the three services (:818-1013)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.cloud import PointCloud
+from ..core.config import SlamConfig
+from ..graph import GraphBuilder, optimize as graph_optimize
+from .information_matrix import InformationMatrixCalculator
+from .keyframe import KeyFrame, KeyFrameSnapshot, KeyframeUpdater
+from .loop_detector import Loop, LoopDetector
+from .map_cloud import MapCloudGenerator
+
+
+@dataclasses.dataclass
+class GpsMeasurement:
+    stamp: float
+    lat: float
+    lon: float
+    alt: float  # NaN when unavailable (NMEA path)
+
+
+@dataclasses.dataclass
+class ImuMeasurement:
+    stamp: float
+    orientation: np.ndarray  # quaternion (w,x,y,z) in base frame
+    acceleration: np.ndarray  # (3,) in base frame
+
+
+@dataclasses.dataclass
+class FloorMeasurement:
+    stamp: float
+    coeffs: np.ndarray  # (4,)
+
+
+class HdlGraphSlam:
+    def __init__(self, cfg: Optional[SlamConfig] = None):
+        self.cfg = cfg or SlamConfig()
+        b = self.cfg.backend
+        self.graph = GraphBuilder()
+        self.keyframe_updater = KeyframeUpdater(b.keyframe_delta_trans, b.keyframe_delta_angle)
+        self.loop_detector = LoopDetector(self.cfg.loop)
+        self.inf_calculator = InformationMatrixCalculator(self.cfg.information)
+        self.map_generator = MapCloudGenerator()
+
+        self.keyframes: List[KeyFrame] = []
+        self.new_keyframes: List[KeyFrame] = []
+        self.keyframe_queue: List[KeyFrame] = []
+        self.keyframe_hash = {}  # stamp -> KeyFrame
+        self.gps_queue: List[GpsMeasurement] = []
+        self.imu_queue: List[ImuMeasurement] = []
+        self.floor_queue: List[FloorMeasurement] = []
+
+        self.trans_odom2map = np.eye(4)
+        self.zero_utm: Optional[np.ndarray] = None
+        self.anchor_node_id: Optional[int] = None
+        self.anchor_edge_first_kf: Optional[int] = None
+        self.floor_plane_node_id: Optional[int] = None
+        self.snapshots: List[KeyFrameSnapshot] = []
+        self.last_stats = None
+
+    # -- ingestion -----------------------------------------------------------
+
+    def add_frame(self, stamp: float, odom: np.ndarray, cloud: PointCloud) -> bool:
+        """cloud_callback (:149-178): gate by KeyframeUpdater, enqueue."""
+        if not self.keyframe_updater.update(odom):
+            return False
+        kf = KeyFrame(
+            stamp=stamp,
+            odom=np.asarray(odom, dtype=np.float64),
+            accum_distance=self.keyframe_updater.get_accum_distance(),
+            cloud=cloud,
+        )
+        self.keyframe_queue.append(kf)
+        return True
+
+    def add_gps(self, m: GpsMeasurement) -> None:
+        m.stamp += self.cfg.backend.gps_time_offset
+        self.gps_queue.append(m)
+
+    def add_imu(self, m: ImuMeasurement) -> None:
+        m.stamp += self.cfg.backend.imu_time_offset
+        self.imu_queue.append(m)
+
+    def add_floor(self, m: FloorMeasurement) -> None:
+        self.floor_queue.append(m)
+
+    # -- queue flushing ------------------------------------------------------
+
+    def _flush_keyframe_queue(self) -> bool:
+        """(:184-249): admit up to max_keyframes_per_update keyframes, add
+        pose nodes (odom2map * odom) and consecutive odometry edges with
+        adaptive information; anchor the first node if configured."""
+        if not self.keyframe_queue:
+            return False
+        b = self.cfg.backend
+        odom2map = self.trans_odom2map
+        num = min(len(self.keyframe_queue), b.max_keyframes_per_update)
+        for i in range(num):
+            kf = self.keyframe_queue[i]
+            self.new_keyframes.append(kf)
+            odom = odom2map @ kf.odom
+            kf.node_id = self.graph.add_se3_node(odom)
+            self.keyframe_hash[kf.stamp] = kf
+
+            if not self.keyframes and len(self.new_keyframes) == 1:
+                if b.fix_first_node:
+                    inf = np.eye(6)
+                    stddevs = [float(s) for s in b.fix_first_node_stddev.split()]
+                    for d in range(6):
+                        inf[d, d] = 1.0 / stddevs[d]  # reference divides by stddev
+                    self.anchor_node_id = self.graph.add_se3_node(np.eye(4), fixed=True)
+                    self.anchor_edge_first_kf = kf.node_id
+                    self._anchor_edge_idx = self.graph.add_se3_edge(
+                        self.anchor_node_id, kf.node_id, np.eye(4), inf
+                    )
+            if i == 0 and not self.keyframes:
+                continue
+            prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
+            relative_pose = np.linalg.inv(kf.odom) @ prev.odom
+            information = self.inf_calculator.calc_information_matrix(kf.cloud, prev.cloud, relative_pose)
+            self.graph.add_se3_edge(
+                kf.node_id,
+                prev.node_id,
+                relative_pose,
+                information,
+                kernel=b.odometry_edge_robust_kernel,
+                kernel_delta=b.odometry_edge_robust_kernel_size,
+            )
+        del self.keyframe_queue[:num]
+        return True
+
+    def _flush_gps_queue(self) -> bool:
+        """(:290-358): closest-in-time <= 0.2 s association, UTM - zero_utm,
+        XY or XYZ prior edge with info I/stddev."""
+        from ..io import geodesy
+
+        if not self.keyframes or not self.gps_queue:
+            return False
+        b = self.cfg.backend
+        updated = False
+        last_stamp = self.gps_queue[-1].stamp
+        for kf in self.keyframes:
+            if kf.stamp > last_stamp:
+                break
+            if kf.utm_coord is not None:
+                continue
+            closest = min(self.gps_queue, key=lambda g: abs(g.stamp - kf.stamp))
+            if abs(closest.stamp - kf.stamp) > 0.2:
+                continue
+            e, n, _zone = geodesy.wgs84_to_utm(closest.lat, closest.lon)
+            xyz = np.array([e, n, closest.alt])
+            if self.zero_utm is None:
+                self.zero_utm = xyz.copy()
+            xyz = xyz - self.zero_utm
+            kf.utm_coord = xyz
+            if np.isnan(xyz[2]):
+                info = np.eye(2) / b.gps_edge_stddev_xy
+                self.graph.add_se3_prior_xy_edge(
+                    kf.node_id, xyz[:2], info, kernel=b.gps_edge_robust_kernel, kernel_delta=b.gps_edge_robust_kernel_size
+                )
+            else:
+                info = np.eye(3)
+                info[:2, :2] /= b.gps_edge_stddev_xy
+                info[2, 2] /= b.gps_edge_stddev_z
+                self.graph.add_se3_prior_xyz_edge(
+                    kf.node_id, xyz, info, kernel=b.gps_edge_robust_kernel, kernel_delta=b.gps_edge_robust_kernel_size
+                )
+            updated = True
+        last_kf_stamp = self.keyframes[-1].stamp
+        self.gps_queue = [g for g in self.gps_queue if g.stamp > last_kf_stamp]
+        return updated
+
+    def _flush_imu_queue(self) -> bool:
+        """(:370-451): orientation quat prior + gravity-vector prior."""
+        if not self.keyframes or not self.imu_queue:
+            return False
+        b = self.cfg.backend
+        if not (b.enable_imu_orientation or b.enable_imu_acceleration):
+            return False
+        updated = False
+        last_stamp = self.imu_queue[-1].stamp
+        for kf in self.keyframes:
+            if kf.stamp > last_stamp:
+                break
+            if kf.acceleration is not None:
+                continue
+            closest = min(self.imu_queue, key=lambda m: abs(m.stamp - kf.stamp))
+            if abs(closest.stamp - kf.stamp) > 0.2:
+                continue
+            kf.acceleration = np.asarray(closest.acceleration, dtype=np.float64)
+            q = np.asarray(closest.orientation, dtype=np.float64)
+            if q[0] < 0:
+                q = -q
+            kf.orientation = q
+            if b.enable_imu_orientation:
+                info = np.eye(3) / b.imu_orientation_edge_stddev
+                self.graph.add_se3_prior_quat_edge(
+                    kf.node_id, q, info,
+                    kernel=b.imu_orientation_edge_robust_kernel,
+                    kernel_delta=b.imu_orientation_edge_robust_kernel_size,
+                )
+            if b.enable_imu_acceleration:
+                info = np.eye(3) / b.imu_acceleration_edge_stddev
+                self.graph.add_se3_prior_vec_edge(
+                    kf.node_id, [0.0, 0.0, -1.0], kf.acceleration, info,
+                    kernel=b.imu_acceleration_edge_robust_kernel,
+                    kernel_delta=b.imu_acceleration_edge_robust_kernel_size,
+                )
+            updated = True
+        last_kf_stamp = self.keyframes[-1].stamp
+        self.imu_queue = [m for m in self.imu_queue if m.stamp > last_kf_stamp]
+        return updated
+
+    def _flush_floor_queue(self) -> bool:
+        """(:470-511): exact-stamp association to keyframes, shared fixed
+        floor plane node, SE3->plane edges."""
+        if not self.keyframes:
+            return False
+        b = self.cfg.backend
+        updated = False
+        latest = self.keyframes[-1].stamp
+        remaining = []
+        for m in self.floor_queue:
+            if m.stamp > latest:
+                remaining.append(m)
+                continue
+            kf = self.keyframe_hash.get(m.stamp)
+            if kf is None:
+                continue
+            if self.floor_plane_node_id is None:
+                self.floor_plane_node_id = self.graph.add_plane_node([0.0, 0.0, 1.0, 0.0], fixed=True)
+            info = np.eye(3) / b.floor_edge_stddev
+            self.graph.add_se3_plane_edge(
+                kf.node_id, self.floor_plane_node_id, m.coeffs, info,
+                kernel=b.floor_edge_robust_kernel, kernel_delta=b.floor_edge_robust_kernel_size,
+            )
+            kf.floor_coeffs = np.asarray(m.coeffs)
+            updated = True
+        self.floor_queue = remaining
+        return updated
+
+    # -- optimization cycle --------------------------------------------------
+
+    def optimize_cycle(self) -> bool:
+        """optimization_timer_callback (:546-612). Returns True if the
+        estimates were updated."""
+        b = self.cfg.backend
+        keyframe_updated = self._flush_keyframe_queue()
+        flushed = self._flush_floor_queue() | self._flush_gps_queue() | self._flush_imu_queue()
+        if not keyframe_updated and not flushed:
+            # reference also short-circuits when nothing new (:561-564)
+            if not self.new_keyframes:
+                return False
+
+        estimates = self._current_estimates()
+        loops = self.loop_detector.detect(self.keyframes, self.new_keyframes, estimates)
+        for loop in loops:
+            relpose = loop.relative_pose
+            information = self.inf_calculator.calc_information_matrix(loop.key1.cloud, loop.key2.cloud, relpose)
+            self.graph.add_se3_edge(
+                loop.key1.node_id,
+                loop.key2.node_id,
+                relpose,
+                information,
+                kernel=b.loop_closure_edge_robust_kernel,
+                kernel_delta=b.loop_closure_edge_robust_kernel_size,
+            )
+
+        self.keyframes.extend(self.new_keyframes)
+        self.new_keyframes = []
+
+        # anchor re-targeting (:579-582)
+        if self.anchor_node_id is not None and b.fix_first_node_adaptive and self.anchor_edge_first_kf is not None:
+            self.graph.poses[self.anchor_node_id] = self.graph.poses[self.anchor_edge_first_kf].copy()
+
+        # optimize (graph_slam.cpp:292-321; skip if < 10 edges)
+        if self.graph.num_edges >= 10:
+            data = self.graph.freeze()
+            data, stats = graph_optimize(data, max_iterations=b.g2o_solver_num_iterations)
+            self.graph.update_estimates(data)
+            self.last_stats = stats
+
+        if self.keyframes:
+            last = self.keyframes[-1]
+            est = self.graph.poses[last.node_id]
+            self.trans_odom2map = est @ np.linalg.inv(last.odom)
+
+        self.snapshots = [
+            KeyFrameSnapshot(pose=self.graph.poses[kf.node_id], cloud=kf.cloud) for kf in self.keyframes
+        ]
+        return True
+
+    def _current_estimates(self) -> np.ndarray:
+        if self.graph.poses:
+            return np.stack(self.graph.poses)
+        return np.zeros((0, 4, 4))
+
+    # -- outputs -------------------------------------------------------------
+
+    def generate_map(self, resolution: Optional[float] = None) -> Optional[np.ndarray]:
+        res = self.cfg.backend.map_cloud_resolution if resolution is None else resolution
+        return self.map_generator.generate(self.snapshots, resolution=res)
+
+    def trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        return [(kf.stamp, self.graph.poses[kf.node_id]) for kf in self.keyframes]

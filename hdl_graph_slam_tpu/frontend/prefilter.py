@@ -1,0 +1,56 @@
+"""Prefiltering stage: raw scan -> conditioned cloud.
+
+Equivalent of PrefilteringNodelet (apps/prefiltering_nodelet.cpp:106-243):
+optional IMU deskewing, base_link transform, distance band-pass, voxel
+downsample, outlier removal. One fused jitted program per configuration —
+where the reference chains four PCL filters with intermediate clouds, XLA
+fuses the masked pipeline into a handful of kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import cloud as cloudlib
+from ..core.cloud import PointCloud
+from ..core.config import PrefilterConfig
+from ..ops import filters, voxel
+
+
+class Prefilter:
+    """Host-side wrapper holding the config; `__call__` runs on device."""
+
+    def __init__(self, cfg: Optional[PrefilterConfig] = None, out_capacity: int = 16384):
+        self.cfg = cfg or PrefilterConfig()
+        self.out_capacity = out_capacity
+
+    def __call__(
+        self,
+        cloud: PointCloud,
+        base_to_sensor: Optional[jax.Array] = None,
+        ang_vel: Optional[jax.Array] = None,
+    ) -> PointCloud:
+        cfg = self.cfg
+        if cfg.deskewing and ang_vel is not None:
+            cloud = filters.deskew(cloud, jnp.asarray(ang_vel, cloud.xyz.dtype), cfg.scan_period)
+        if base_to_sensor is not None:
+            cloud = cloudlib.transform(cloud, jnp.asarray(base_to_sensor, cloud.xyz.dtype))
+        if cfg.use_distance_filter:
+            cloud = filters.distance_filter(cloud, cfg.distance_near_thresh, cfg.distance_far_thresh)
+        if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
+            # ApproximateVoxelGrid differs from VoxelGrid only in hashing
+            # approximations PCL makes for speed; the exact centroid grid
+            # serves both (it is not slower here).
+            cloud = voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=self.out_capacity)
+        else:
+            cloud = cloudlib.compact(cloud, capacity=self.out_capacity)
+        if cfg.outlier_removal_method == "STATISTICAL":
+            cloud = filters.statistical_outlier_removal(cloud, cfg.statistical_mean_k, cfg.statistical_stddev)
+        elif cfg.outlier_removal_method == "RADIUS":
+            cloud = filters.radius_outlier_removal(cloud, cfg.radius_radius, cfg.radius_min_neighbors)
+        return cloud

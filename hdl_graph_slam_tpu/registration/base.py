@@ -51,8 +51,9 @@ class LMState(NamedTuple):
 
 
 def lm_loop(
-    linearize,
-    cost_only,
+    associate,
+    linearize_at,
+    cost_at,
     guess: jax.Array,
     max_iterations: int,
     transformation_epsilon,
@@ -61,29 +62,41 @@ def lm_loop(
     """Levenberg-Marquardt over SE(3) with Nielsen damping, shared by
     GICP/VGICP (fast_gicp LsqRegistration::step_lm structure).
 
-    ``linearize(T) -> (H, b, cost, num_inliers)`` with H (6,6), b = J^T W e;
-    ``cost_only(T) -> cost``. The left-multiplied increment exp(d) is applied
-    as T <- exp(d) @ T. One trial per while_loop step: rejected trials
-    re-linearize at the unchanged pose (identical H, b), keeping shapes
-    static; semantics match the reference's nested accept/reject loop.
+    - ``associate(T) -> corr`` computes correspondences + fixed Mahalanobis
+      weights at the current pose (fast_gicp update_correspondences);
+    - ``linearize_at(T, corr) -> (H, b, cost, num_inliers)``;
+    - ``cost_at(T, corr) -> cost`` evaluates a trial pose *with the same
+      correspondences* (fast_gicp compute_error semantics).
+
+    Trial costs MUST use fixed correspondences: the gated sum-cost is not
+    monotone under re-association (a pose closer to truth admits new
+    correspondences and can raise the sum), which creates spurious barriers
+    that permanently stall rotation estimation.
+
+    The left-multiplied increment exp(d) is applied as T <- exp(d) @ T. One
+    trial per while_loop step: a rejected trial re-runs associate+linearize
+    at the unchanged pose (identical results), keeping shapes static;
+    semantics match the reference's nested accept/reject loop.
     """
     from ..core import se3  # local import to avoid cycle
 
     dtype = guess.dtype
     eye6 = jnp.eye(6, dtype=dtype)
 
-    H0, b0, cost0, n0 = linearize(guess)
+    corr0 = associate(guess)
+    H0, b0, cost0, n0 = linearize_at(guess, corr0)
     lam0 = lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H0)))
 
     def cond(s: LMState):
         return (s.it < max_iterations) & jnp.logical_not(s.converged)
 
     def body(s: LMState):
-        H, b, cost, ninl = linearize(s.T)
+        corr = associate(s.T)
+        H, b, cost, ninl = linearize_at(s.T, corr)
         d = -jnp.linalg.solve(H + s.lam * eye6, b)
         delta = se3.se3_exp(d)
         T_new = delta @ s.T
-        cost_new = cost_only(T_new)
+        cost_new = cost_at(T_new, corr)
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
         denom = jnp.dot(d, s.lam * d - b)
         rho = (cost - cost_new) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)

@@ -90,35 +90,17 @@ def _inv3x3(m: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
-def _linearize(T, src: GicpCloud, tgt: GicpCloud, max_corr_dist):
-    """One GICP linearization: correspondences, Mahalanobis, H, b, cost."""
-    R = T[:3, :3]
-    t = T[:3, 3]
-    moved = src.xyz @ R.T + t
-    moved_q = jnp.where(src.mask[:, None], moved, 1.0e6)
-    idx, d2 = knn.nn1(moved_q, jnp.where(tgt.mask[:, None], tgt.xyz, 1.0e6))
-    valid = src.mask & tgt.mask[idx] & (d2 < max_corr_dist * max_corr_dist)
+class GicpCorr(NamedTuple):
+    """Fixed correspondence state for one linearization (fast_gicp
+    update_correspondences): target indices, validity gate, Mahalanobis."""
 
-    cov_b = tgt.covs[idx]
-    RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
-    M = _inv3x3(cov_b + RCA)  # (N, 3, 3) mahalanobis weights
-    w = valid.astype(T.dtype)
-    Mw = M * w[:, None, None]
-
-    e = tgt.xyz[idx] - moved  # (N, 3)
-    # J_i = d e / d [v, w] for left-multiplied increment exp([v,w]) T:
-    # e(delta) ~= e - v - w x (T a)  =>  J = [-I | skew(moved)]
-    skew = se3.hat(moved)  # (N, 3, 3)
-    J = jnp.concatenate([-jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), skew.shape), skew], axis=-1)  # (N,3,6)
-
-    MJ = jnp.einsum("nij,njk->nik", Mw, J)
-    H = jnp.einsum("nji,njk->ik", J, MJ)  # (6,6)
-    b = jnp.einsum("nji,njk,nk->i", J, Mw, e)  # (6,) = J^T M e
-    cost = jnp.einsum("ni,nij,nj->", e, Mw, e)
-    return H, b, cost, jnp.sum(valid.astype(jnp.int32))
+    idx: jax.Array  # (N,) target index per source point
+    Mw: jax.Array  # (N, 3, 3) gated mahalanobis (zeroed for invalid)
+    num: jax.Array  # () int32 valid count
 
 
-def _cost_only(T, src: GicpCloud, tgt: GicpCloud, max_corr_dist):
+def _associate(T, src: GicpCloud, tgt: GicpCloud, max_corr_dist) -> GicpCorr:
+    """NN correspondences + Mahalanobis at pose T (fixed through LM trials)."""
     R = T[:3, :3]
     t = T[:3, 3]
     moved = src.xyz @ R.T + t
@@ -128,9 +110,32 @@ def _cost_only(T, src: GicpCloud, tgt: GicpCloud, max_corr_dist):
     cov_b = tgt.covs[idx]
     RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
     M = _inv3x3(cov_b + RCA)
-    e = tgt.xyz[idx] - moved
-    w = valid.astype(T.dtype)
-    return jnp.einsum("ni,nij,nj->", e, M * w[:, None, None], e)
+    Mw = M * valid.astype(T.dtype)[:, None, None]
+    return GicpCorr(idx=idx, Mw=Mw, num=jnp.sum(valid.astype(jnp.int32)))
+
+
+def _linearize_at(T, corr: GicpCorr, src: GicpCloud, tgt: GicpCloud):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    e = tgt.xyz[corr.idx] - moved  # (N, 3)
+    # J_i = d e / d [v, w] for left-multiplied increment exp([v,w]) T:
+    # e(delta) ~= e - v - w x (T a)  =>  J = [-I | skew(moved)]
+    skew = se3.hat(moved)  # (N, 3, 3)
+    J = jnp.concatenate([-jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), skew.shape), skew], axis=-1)
+    MJ = jnp.einsum("nij,njk->nik", corr.Mw, J)
+    H = jnp.einsum("nji,njk->ik", J, MJ)
+    b = jnp.einsum("nji,njk,nk->i", J, corr.Mw, e)
+    cost = jnp.einsum("ni,nij,nj->", e, corr.Mw, e)
+    return H, b, cost, corr.num
+
+
+def _cost_at(T, corr: GicpCorr, src: GicpCloud, tgt: GicpCloud):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    e = tgt.xyz[corr.idx] - moved
+    return jnp.einsum("ni,nij,nj->", e, corr.Mw, e)
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
@@ -148,8 +153,9 @@ def align(
     Follows fast_gicp's LM loop (see base.lm_loop).
     """
     return lm_loop(
-        linearize=lambda T: _linearize(T, src, tgt, max_corr_dist),
-        cost_only=lambda T: _cost_only(T, src, tgt, max_corr_dist),
+        associate=lambda T: _associate(T, src, tgt, max_corr_dist),
+        linearize_at=lambda T, corr: _linearize_at(T, corr, src, tgt),
+        cost_at=lambda T, corr: _cost_at(T, corr, src, tgt),
         guess=guess,
         max_iterations=max_iterations,
         transformation_epsilon=transformation_epsilon,

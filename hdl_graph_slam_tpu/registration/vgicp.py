@@ -76,7 +76,16 @@ def _correspond(tgt: VgicpTarget, moved: jax.Array, mask: jax.Array):
     return idx, found
 
 
-def _linearize(T, src: GicpCloud, tgt: VgicpTarget):
+from typing import NamedTuple
+
+
+class VgicpCorr(NamedTuple):
+    idx: jax.Array
+    Mw: jax.Array  # gated mahalanobis, fixed during LM trials
+    num: jax.Array
+
+
+def _associate(T, src: GicpCloud, tgt: VgicpTarget) -> VgicpCorr:
     R = T[:3, :3]
     t = T[:3, 3]
     moved = src.xyz @ R.T + t
@@ -84,31 +93,30 @@ def _linearize(T, src: GicpCloud, tgt: VgicpTarget):
     cov_b = tgt.covs[idx]
     RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
     M = _inv3x3(cov_b + RCA)
-    w = found.astype(T.dtype)
-    Mw = M * w[:, None, None]
-    e = tgt.means[idx] - moved
-    e = jnp.where(found[:, None], e, 0.0)
+    Mw = M * found.astype(T.dtype)[:, None, None]
+    return VgicpCorr(idx=idx, Mw=Mw, num=jnp.sum(found.astype(jnp.int32)))
+
+
+def _linearize_at(T, corr: VgicpCorr, src: GicpCloud, tgt: VgicpTarget):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    moved = src.xyz @ R.T + t
+    e = tgt.means[corr.idx] - moved
     skew = se3.hat(moved)
     J = jnp.concatenate([-jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), skew.shape), skew], axis=-1)
-    MJ = jnp.einsum("nij,njk->nik", Mw, J)
+    MJ = jnp.einsum("nij,njk->nik", corr.Mw, J)
     H = jnp.einsum("nji,njk->ik", J, MJ)
-    b = jnp.einsum("nji,njk,nk->i", J, Mw, e)
-    cost = jnp.einsum("ni,nij,nj->", e, Mw, e)
-    return H, b, cost, jnp.sum(found.astype(jnp.int32))
+    b = jnp.einsum("nji,njk,nk->i", J, corr.Mw, e)
+    cost = jnp.einsum("ni,nij,nj->", e, corr.Mw, e)
+    return H, b, cost, corr.num
 
 
-def _cost_only(T, src: GicpCloud, tgt: VgicpTarget):
+def _cost_at(T, corr: VgicpCorr, src: GicpCloud, tgt: VgicpTarget):
     R = T[:3, :3]
     t = T[:3, 3]
     moved = src.xyz @ R.T + t
-    idx, found = _correspond(tgt, moved, src.mask)
-    cov_b = tgt.covs[idx]
-    RCA = jnp.einsum("ij,njk,lk->nil", R, src.covs, R)
-    M = _inv3x3(cov_b + RCA)
-    e = tgt.means[idx] - moved
-    e = jnp.where(found[:, None], e, 0.0)
-    w = found.astype(T.dtype)
-    return jnp.einsum("ni,nij,nj->", e, M * w[:, None, None], e)
+    e = tgt.means[corr.idx] - moved
+    return jnp.einsum("ni,nij,nj->", e, corr.Mw, e)
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
@@ -121,8 +129,9 @@ def align(
     lm_init_lambda_factor=1e-9,
 ) -> AlignResult:
     return lm_loop(
-        linearize=lambda T: _linearize(T, src, tgt),
-        cost_only=lambda T: _cost_only(T, src, tgt),
+        associate=lambda T: _associate(T, src, tgt),
+        linearize_at=lambda T, corr: _linearize_at(T, corr, src, tgt),
+        cost_at=lambda T, corr: _cost_at(T, corr, src, tgt),
         guess=guess,
         max_iterations=max_iterations,
         transformation_epsilon=transformation_epsilon,

@@ -1,0 +1,231 @@
+"""End-to-end pipeline tests on a synthetic world: prefilter -> odometry ->
+floor detection -> backend graph -> optimize -> map. The closest thing the
+reference has is golden-bag runs (SURVEY.md §4); this is the deterministic
+synthetic equivalent."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hdl_graph_slam_tpu.core import cloud as cloudlib
+from hdl_graph_slam_tpu.core import se3
+from hdl_graph_slam_tpu.core.config import (
+    FloorDetectionConfig,
+    OdometryConfig,
+    PrefilterConfig,
+    RegistrationConfig,
+    SlamConfig,
+)
+from hdl_graph_slam_tpu.frontend import FloorDetector, Prefilter, ScanMatchingOdometry
+from hdl_graph_slam_tpu.backend import HdlGraphSlam, FloorMeasurement
+
+
+def make_world(seed=0, n=12000):
+    """A room: floor at z=0, walls, pillars — dense enough to scan-match."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    # floor 30x30
+    f = np.stack([rng.uniform(-15, 15, n // 2), rng.uniform(-15, 15, n // 2), rng.normal(0, 0.01, n // 2)], 1)
+    pts.append(f)
+    # 4 walls
+    for k in range(4):
+        m = n // 8
+        w = np.stack([rng.uniform(-15, 15, m), np.full(m, 15.0) + rng.normal(0, 0.01, m), rng.uniform(0, 4, m)], 1)
+        ang = k * np.pi / 2
+        R = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+        pts.append(w @ R.T)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def scan_at(world, pose, sensor_height=1.8, max_range=25.0, n_keep=4000, seed=0):
+    """Simulated scan: world points within range of the sensor, expressed in
+    the sensor frame."""
+    rng = np.random.default_rng(seed)
+    sensor = pose.copy()
+    sensor[2, 3] += sensor_height
+    inv = np.linalg.inv(sensor)
+    local = world @ inv[:3, :3].T + inv[:3, 3]
+    d = np.linalg.norm(local, axis=1)
+    keep = (d > 0.5) & (d < max_range)
+    local = local[keep]
+    if local.shape[0] > n_keep:
+        local = local[rng.choice(local.shape[0], n_keep, replace=False)]
+    return local
+
+
+def drive_square(side=8.0, step=1.0, turn_steps=4):
+    """Square trajectory on the floor, yaw following the path; turns are
+    spread over several frames like a real 10 Hz scan sequence."""
+    poses = []
+    T = np.eye(4)
+    poses.append(T.copy())
+    for leg in range(4):
+        for _ in range(int(side / step)):
+            d = np.eye(4)
+            d[0, 3] = step
+            T = T @ d
+            poses.append(T.copy())
+        for _ in range(turn_steps):
+            turn = np.eye(4)
+            turn[:3, :3] = np.asarray(se3.so3_exp(jnp.asarray([0.0, 0.0, np.pi / 2 / turn_steps])))
+            T = T @ turn
+            poses.append(T.copy())
+    return poses
+
+
+@pytest.fixture(scope="module")
+def world():
+    return make_world()
+
+
+class TestOdometryPipeline:
+    def test_odometry_tracks_square(self, world):
+        cfg = OdometryConfig(
+            keyframe_delta_trans=2.0,
+            keyframe_delta_angle=0.8,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(registration_method="FAST_GICP"),
+        )
+        odo = ScanMatchingOdometry(cfg)
+        poses = drive_square(side=4.0, step=1.0, turn_steps=6)[:14]
+        errs = []
+        for i, pose in enumerate(poses):
+            scan = scan_at(world, pose, seed=i)
+            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            est = odo.step(float(i) * 0.1, cloud)
+            # odometry is relative to the first sensor pose
+            err = np.linalg.inv(pose) @ est
+            errs.append(np.linalg.norm(err[:3, 3]))
+        assert max(errs) < 0.25, errs
+        assert np.median(errs) < 0.02, errs
+
+    def test_status_populated(self, world):
+        odo = ScanMatchingOdometry(OdometryConfig(registration=RegistrationConfig()))
+        for i in range(2):
+            scan = scan_at(world, np.eye(4), seed=i)
+            odo.step(float(i) * 0.1, cloudlib.from_numpy(scan, capacity=4096))
+        st = odo.last_status
+        assert st is not None and st.has_converged
+        assert st.inlier_fraction > 0.8
+
+
+class TestFloorPipeline:
+    def test_detect_floor(self, world):
+        det = FloorDetector(FloorDetectionConfig(sensor_height=1.8, floor_pts_thresh=100))
+        scan = scan_at(world, np.eye(4))
+        coeffs = det.detect(cloudlib.from_numpy(scan, capacity=8192))
+        assert coeffs is not None
+        np.testing.assert_allclose(coeffs[:3], [0, 0, 1], atol=0.02)
+        # floor is sensor_height below the sensor: n.p + d = 0 at p=(0,0,-1.8)
+        assert abs(coeffs[3] - 1.8) < 0.1
+
+    def test_no_floor_in_empty_scan(self):
+        det = FloorDetector(FloorDetectionConfig(floor_pts_thresh=100))
+        rng = np.random.default_rng(1)
+        scan = rng.uniform(-5, 5, (50, 3)).astype(np.float32)
+        assert det.detect(cloudlib.from_numpy(scan, capacity=256)) is None
+
+
+class TestFullSlam:
+    def test_square_loop_slam(self, world):
+        """Drive a square; the backend must build a graph, detect the loop
+        when returning to start, and keep the map consistent."""
+        reg = RegistrationConfig(registration_method="FAST_GICP")
+        cfg = SlamConfig()
+        cfg.odometry.registration = reg
+        cfg.odometry.keyframe_delta_trans = 1.0
+        cfg.odometry.keyframe_delta_time = 1e9
+        cfg.backend.keyframe_delta_trans = 1.0
+        cfg.backend.fix_first_node = True
+        cfg.backend.fix_first_node_stddev = "10 10 10 1 1 1"
+        cfg.backend.g2o_solver_num_iterations = 30
+        cfg.loop.distance_thresh = 3.0
+        cfg.loop.accum_distance_thresh = 8.0
+        cfg.loop.min_edge_interval = 3.0
+        cfg.loop.fitness_score_thresh = 0.5
+        cfg.loop.registration = reg
+
+        odo = ScanMatchingOdometry(cfg.odometry)
+        slam = HdlGraphSlam(cfg)
+
+        poses = drive_square(side=6.0, step=1.5)
+        for i, pose in enumerate(poses):
+            scan = scan_at(world, pose, seed=i)
+            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            est = odo.step(float(i), cloud)
+            slam.add_frame(float(i), est, cloud)
+            if i % 4 == 3:
+                slam.optimize_cycle()
+        slam.optimize_cycle()
+
+        assert len(slam.keyframes) >= 8
+        # trajectory should return near the start
+        traj = slam.trajectory()
+        start = traj[0][1][:3, 3]
+        end_err = np.linalg.norm(traj[-1][1][:3, 3] - poses[-1][:3, 3])
+        assert end_err < 1.0, end_err
+
+        m = slam.generate_map(resolution=0.3)
+        assert m is not None and m.shape[0] > 500
+
+    def test_gps_constraints(self):
+        """GPS priors anchor the graph in UTM frame."""
+        from hdl_graph_slam_tpu.backend import GpsMeasurement
+
+        cfg = SlamConfig()
+        cfg.backend.gps_edge_stddev_xy = 1.0
+        cfg.backend.keyframe_delta_trans = 0.5  # admit every 1 m frame
+        slam = HdlGraphSlam(cfg)
+        rng = np.random.default_rng(0)
+        cloud = cloudlib.from_numpy(rng.uniform(-5, 5, (500, 3)).astype(np.float32))
+        # straight line east, 1 m per frame
+        lat0, lon0 = 35.0, 139.0
+        for i in range(12):
+            T = np.eye(4)
+            T[0, 3] = float(i)
+            slam.add_frame(float(i), T, cloud)
+            # ~1e-5 deg lon ~ 0.9 m at this latitude... use exact meters via
+            # small increments: 1 m east ~ 1/ (111320*cos(lat)) deg
+            dlon = i * 1.0 / (111320.0 * np.cos(np.radians(lat0)))
+            slam.add_gps(GpsMeasurement(stamp=float(i), lat=lat0, lon=lon0 + dlon, alt=10.0))
+        slam.cfg.backend.max_keyframes_per_update = 100
+        slam.optimize_cycle()
+        slam.optimize_cycle()
+        assert slam.zero_utm is not None
+        # keyframes got utm coords
+        n_utm = sum(1 for k in slam.keyframes if k.utm_coord is not None)
+        assert n_utm >= len(slam.keyframes) - 2, (n_utm, len(slam.keyframes))
+        # and the GPS prior-edge table is populated
+        assert len(slam.graph.edge_rows["se3_prior_xyz"]) == n_utm
+
+    def test_floor_constraints_flatten_drift(self, world):
+        """Odometry z-drift is corrected by floor edges: the base frame is
+        the sensor frame (height 1.8 above the floor), so every optimized
+        pose should return to z = 1.8."""
+        cfg = SlamConfig()
+        cfg.backend.floor_edge_stddev = 0.1
+        cfg.backend.max_keyframes_per_update = 100
+        slam = HdlGraphSlam(cfg)
+        det = FloorDetector(FloorDetectionConfig(sensor_height=1.8, floor_pts_thresh=100))
+        n_floor = 0
+        for i in range(12):
+            ground = np.eye(4)
+            ground[0, 3] = float(i) * 2.0
+            sensor_true = ground.copy()
+            sensor_true[2, 3] = 1.8
+            # odometry drifts upward relative to the true sensor pose
+            T_drift = sensor_true.copy()
+            T_drift[2, 3] += 0.05 * i
+            scan = scan_at(world, ground, sensor_height=1.8, seed=100 + i)
+            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            slam.add_frame(float(i), T_drift, cloud)
+            coeffs = det.detect(cloud)
+            if coeffs is not None:
+                n_floor += 1
+                slam.add_floor(FloorMeasurement(stamp=float(i), coeffs=coeffs))
+        assert n_floor >= 10  # the detector must find the floor
+        slam.optimize_cycle()
+        slam.optimize_cycle()
+        zs = np.array([slam.graph.poses[k.node_id][2, 3] for k in slam.keyframes])
+        drift = np.abs(zs - 1.8)
+        assert np.mean(drift) < 0.05, zs
