@@ -1,1 +1,1 @@
-from . import geodesy
+from . import geodesy, nmea, pcd, kitti, trajectory, rosbag

@@ -1,1 +1,2 @@
-
+from . import dist
+from .dist import make_mesh, sharded_candidate_align, distributed_lm_step

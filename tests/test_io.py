@@ -1,0 +1,194 @@
+"""IO layer tests: NMEA parsing, UTM conversion, PCD roundtrip, trajectory
+formats + ATE/RPE, rosbag record parsing on a synthesized mini-bag."""
+
+import io
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from hdl_graph_slam_tpu.io import geodesy, nmea, pcd, trajectory
+from hdl_graph_slam_tpu.io import rosbag as rb
+
+
+class TestNmea:
+    GOOD = "$GPRMC,123519,A,4807.038,N,01131.000,E,022.4,084.4,230394,003.1,W*6A"
+
+    def test_parse_good(self):
+        out = nmea.parse(self.GOOD)
+        assert out.status == "A"
+        assert abs(out.latitude - (48 + 7.038 / 60)) < 1e-9
+        assert abs(out.longitude - (11 + 31.0 / 60)) < 1e-9
+
+    def test_bad_checksum(self):
+        s = self.GOOD[:-2] + "00"
+        assert nmea.parse(s).status == "V"
+
+    def test_southern_western(self):
+        body = "GPRMC,123519,A,4807.038,S,01131.000,W,022.4,084.4,230394,003.1,W"
+        cs = 0
+        for ch in body:
+            cs ^= ord(ch)
+        s = f"${body}*{cs:02X}"
+        out = nmea.parse(s)
+        assert out.latitude < 0 and out.longitude < 0
+
+
+class TestGeodesy:
+    def test_central_meridian(self):
+        # on the central meridian easting is exactly the 500 km false easting
+        e, n, zone = geodesy.wgs84_to_utm(48.0, 9.0)  # zone 32 CM = 9E
+        assert zone == 32
+        assert abs(e - 500000.0) < 1e-6
+
+    def test_meridian_arc_45(self):
+        # northing on the CM at 45N = k0 * WGS84 meridian arc to 45
+        # (4984944.378 m, quadrature-validated)
+        _, n, _ = geodesy.wgs84_to_utm(45.0, 9.0)
+        assert abs(n - 0.9996 * 4984944.378) < 0.01
+
+    def test_east_west_symmetry(self):
+        e_w, _, _ = geodesy.wgs84_to_utm(45.0, 9.0 - 1.0)
+        e_e, _, _ = geodesy.wgs84_to_utm(45.0, 9.0 + 1.0)
+        assert abs((e_e - 500000.0) + (e_w - 500000.0)) < 1e-3
+
+    def test_southern_hemisphere(self):
+        e, n, zone = geodesy.wgs84_to_utm(-33.8688, 151.2093)  # Sydney
+        assert n > 6000000  # false northing applied
+
+    def test_local_linearity(self):
+        lat, lon = 35.0, 139.0
+        e0, n0, _ = geodesy.wgs84_to_utm(lat, lon)
+        dlon = 1.0 / (111320.0 * np.cos(np.radians(lat)))
+        e1, n1, _ = geodesy.wgs84_to_utm(lat, lon + dlon)
+        assert abs((e1 - e0) - 1.0) < 0.01  # 1 m east ~ 1 m easting
+
+
+class TestPcd:
+    def test_roundtrip_binary(self, tmp_path):
+        rng = np.random.default_rng(0)
+        xyz = rng.standard_normal((100, 3)).astype(np.float32)
+        inten = rng.uniform(0, 255, 100).astype(np.float32)
+        p = str(tmp_path / "test.pcd")
+        pcd.save_pcd(p, xyz, inten)
+        x2, i2 = pcd.load_pcd(p)
+        np.testing.assert_allclose(x2, xyz, rtol=1e-6)
+        np.testing.assert_allclose(i2, inten, rtol=1e-6)
+
+    def test_roundtrip_ascii(self, tmp_path):
+        xyz = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.float32)
+        p = str(tmp_path / "a.pcd")
+        pcd.save_pcd(p, xyz, binary=False)
+        x2, i2 = pcd.load_pcd(p)
+        np.testing.assert_allclose(x2, xyz, atol=1e-5)
+        assert i2 is None
+
+
+class TestTrajectory:
+    def make_traj(self, n=20, drift=0.0):
+        out = []
+        T = np.eye(4)
+        for i in range(n):
+            T = T.copy()
+            T[0, 3] += 1.0
+            T[1, 3] += drift
+            out.append((float(i), T))
+        return out
+
+    def test_tum_roundtrip(self, tmp_path):
+        traj = self.make_traj()
+        p = str(tmp_path / "traj.txt")
+        trajectory.save_tum(p, traj)
+        back = trajectory.load_tum(p)
+        assert len(back) == len(traj)
+        np.testing.assert_allclose(back[7][1], traj[7][1], atol=1e-5)
+
+    def test_ate_zero_for_identical(self):
+        traj = self.make_traj()
+        assert trajectory.ate_rmse(traj, traj) < 1e-9
+
+    def test_ate_detects_drift(self):
+        ref = self.make_traj()
+        est = self.make_traj(drift=0.1)
+        ate = trajectory.ate_rmse(est, ref, align=False)
+        assert 0.5 < ate < 1.5
+
+    def test_ate_alignment_removes_rigid_offset(self):
+        ref = self.make_traj()
+        # rigidly shifted trajectory: ATE after alignment ~ 0
+        est = [(s, np.array([[1,0,0,10],[0,1,0,-5],[0,0,1,2],[0,0,0,1]]) @ T) for s, T in ref]
+        assert trajectory.ate_rmse(est, ref, align=True) < 1e-6
+
+    def test_rpe(self):
+        ref = self.make_traj()
+        est = self.make_traj(drift=0.1)
+        t_rpe, r_rpe = trajectory.rpe_rmse(est, ref)
+        assert abs(t_rpe - 0.1) < 1e-6
+        assert r_rpe < 1e-9
+
+
+def _bag_record(header_fields, data=b""):
+    header = b"".join(
+        struct.pack("<I", len(k) + 1 + len(v)) + k + b"=" + v for k, v in header_fields.items()
+    )
+    return struct.pack("<I", len(header)) + header + struct.pack("<I", len(data)) + data
+
+
+class TestRosbag:
+    def make_mini_bag(self, path):
+        """Handcraft a tiny uncompressed v2.0 bag with one PointCloud2."""
+        # PointCloud2 message payload
+        frame = b"velodyne"
+        pts = np.array([[1.0, 2.0, 3.0, 10.0], [4.0, 5.0, 6.0, 20.0]], dtype=np.float32)
+        fields = [(b"x", 0, 7), (b"y", 4, 7), (b"z", 8, 7), (b"intensity", 12, 7)]
+        msg = struct.pack("<III", 0, 100, 500000000)  # seq, stamp
+        msg += struct.pack("<I", len(frame)) + frame
+        msg += struct.pack("<II", 1, 2)  # height, width
+        msg += struct.pack("<I", len(fields))
+        for name, off, dt in fields:
+            msg += struct.pack("<I", len(name)) + name + struct.pack("<IBI", off, dt, 1)
+        msg += b"\x00"  # is_bigendian
+        msg += struct.pack("<II", 16, 32)  # point_step, row_step
+        raw = pts.tobytes()
+        msg += struct.pack("<I", len(raw)) + raw
+        msg += b"\x01"  # is_dense
+
+        conn_data = _bag_record  # not used
+        conn_hdr = {b"op": b"\x07", b"conn": struct.pack("<I", 0), b"topic": b"/velodyne_points"}
+        conn_payload = b"".join(
+            struct.pack("<I", len(k) + 1 + len(v)) + k + b"=" + v
+            for k, v in {b"type": b"sensor_msgs/PointCloud2", b"md5sum": b"x", b"message_definition": b""}.items()
+        )
+        msg_hdr = {
+            b"op": b"\x02",
+            b"conn": struct.pack("<I", 0),
+            b"time": struct.pack("<II", 100, 500000000),
+        }
+        chunk_payload = _bag_record(conn_hdr, conn_payload) + _bag_record(msg_hdr, msg)
+        chunk_hdr = {b"op": b"\x05", b"compression": b"none", b"size": struct.pack("<I", len(chunk_payload))}
+
+        bag_hdr = {
+            b"op": b"\x03",
+            b"index_pos": struct.pack("<Q", 0),
+            b"conn_count": struct.pack("<I", 1),
+            b"chunk_count": struct.pack("<I", 1),
+        }
+        with open(path, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            f.write(_bag_record(bag_hdr, b" " * 4096))
+            f.write(_bag_record(chunk_hdr, chunk_payload))
+
+    def test_read_mini_bag(self, tmp_path):
+        p = str(tmp_path / "mini.bag")
+        self.make_mini_bag(p)
+        reader = rb.BagReader(p)
+        msgs = list(reader.messages())
+        assert len(msgs) == 1
+        m = msgs[0]
+        assert m.topic == "/velodyne_points"
+        assert m.msg_type == "sensor_msgs/PointCloud2"
+        stamp, frame_id, xyz, inten = rb.parse_pointcloud2(m.raw)
+        assert frame_id == "velodyne"
+        np.testing.assert_allclose(xyz, [[1, 2, 3], [4, 5, 6]])
+        np.testing.assert_allclose(inten, [10, 20])

@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdl_graph_slam_tpu.core import cloud as cloudlib, se3
+from hdl_graph_slam_tpu.graph import GraphBuilder
+from hdl_graph_slam_tpu.parallel import make_mesh, sharded_candidate_align, distributed_lm_step
+from hdl_graph_slam_tpu.registration import gicp
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_candidate_align_matches_single():
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-10, 10, 800), rng.uniform(-10, 10, 800), rng.normal(0, 0.02, 800)], 1)
+    pts[400:, 2] = pts[400:, 0] * 0.5  # a slope so full 6-dof is constrained
+    tgt = gicp.preprocess(cloudlib.from_numpy(pts.astype(np.float32), capacity=1024))
+
+    K = 8
+    xi = rng.standard_normal((K, 6)) * 0.05
+    guesses = np.asarray(jax.vmap(se3.se3_exp)(jnp.asarray(xi, jnp.float32)))
+    srcs = gicp.preprocess(cloudlib.from_numpy(pts.astype(np.float32), capacity=1024))
+    srcs_b = jax.tree_util.tree_map(lambda a: jnp.broadcast_to(a[None], (K,) + a.shape), srcs)
+
+    mesh = make_mesh(8)
+    res = sharded_candidate_align(mesh, tgt, srcs_b, jnp.asarray(guesses), lambda t, s, g: gicp.align(t, s, g))
+    T = np.asarray(res.transformation)
+    assert T.shape == (K, 4, 4)
+    for k in range(K):
+        err = np.linalg.inv(T[k])  # identity is the truth (same cloud)
+        assert np.linalg.norm(err[:3, 3]) < 0.05
+
+
+def build_chain_graph(n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    g = GraphBuilder()
+    ids = []
+    est = np.eye(4)
+    truth = np.eye(4)
+    for k in range(n):
+        if k == 0:
+            ids.append(g.add_se3_node(np.eye(4), fixed=True))
+            continue
+        rel_true = np.eye(4)
+        rel_true[0, 3] = 1.0
+        noise = np.asarray(se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)]))))
+        rel_noisy = rel_true @ noise
+        est = est @ rel_noisy
+        ids.append(g.add_se3_node(est))
+        g.add_se3_edge(ids[k], ids[k - 1], np.linalg.inv(rel_noisy), np.eye(6) * 100.0)
+    return g, ids
+
+
+def test_distributed_lm_step_matches_single_chip():
+    from hdl_graph_slam_tpu.graph.linearize import build_system, apply_delta, free_dof_mask
+
+    g, ids = build_chain_graph()
+    data = g.freeze()
+    lam = 1e-5
+
+    # single-chip reference step
+    H, b, _, chi2_ref = build_system(data)
+    free = free_dof_mask(data).astype(H.dtype)
+    Hf = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    dx = -jnp.linalg.solve(Hf + lam * jnp.diag(free), b * free)
+    ref = apply_delta(data, dx)
+
+    mesh = make_mesh(8)
+    out, chi2 = distributed_lm_step(mesh, data, lam)
+    np.testing.assert_allclose(np.asarray(chi2), np.asarray(chi2_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses), atol=1e-8)
+
+
+def test_distributed_lm_reduces_chi2():
+    g, ids = build_chain_graph()
+    data = g.freeze()
+    mesh = make_mesh(8)
+    d1, chi2_0 = distributed_lm_step(mesh, data, 1e-5)
+    d2, chi2_1 = distributed_lm_step(mesh, d1, 1e-5)
+    assert float(chi2_1) < float(chi2_0)
