@@ -318,3 +318,140 @@ class HdlGraphSlam:
 
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         return [(kf.stamp, self.graph.poses[kf.node_id]) for kf in self.keyframes]
+
+    # -- persistence services (dump/load/save_map,
+    #    hdl_graph_slam_nodelet.cpp:818-1013) --------------------------------
+
+    def save_map(self, path: str, resolution: Optional[float] = None) -> bool:
+        """save_map_service (:982-1013): assemble + write PCD (+ .utm)."""
+        from ..io import pcd as pcdio
+
+        pts = self.generate_map(resolution=resolution)
+        if pts is None:
+            return False
+        if self.zero_utm is not None:
+            with open(path + ".utm", "w") as f:
+                f.write("%.6f %.6f %.6f\n" % tuple(self.zero_utm))
+        pcdio.save_pcd(path, pts)
+        return True
+
+    def dump(self, directory: str) -> bool:
+        """dump_service (:932-974): graph.g2o + per-keyframe dirs +
+        zero_utm + special_nodes.csv, matching the reference layout
+        (keyframe.cpp:21-58)."""
+        import os
+
+        from ..graph.io import save_g2o
+        from ..io import pcd as pcdio
+
+        os.makedirs(directory, exist_ok=True)
+        save_g2o(self.graph, os.path.join(directory, "graph.g2o"))
+        for i, kf in enumerate(self.keyframes):
+            kdir = os.path.join(directory, "%06d" % i)
+            os.makedirs(kdir, exist_ok=True)
+            with open(os.path.join(kdir, "data"), "w") as f:
+                secs = int(kf.stamp)
+                nsecs = int(round((kf.stamp - secs) * 1e9))
+                f.write(f"stamp {secs} {nsecs}\n")
+                f.write("estimate\n")
+                est = self.graph.poses[kf.node_id]
+                for row in est:
+                    f.write(" ".join("%.9g" % v for v in row) + "\n")
+                f.write("odom\n")
+                for row in kf.odom:
+                    f.write(" ".join("%.9g" % v for v in row) + "\n")
+                f.write(f"accum_distance {kf.accum_distance:.9g}\n")
+                if kf.floor_coeffs is not None:
+                    f.write("floor_coeffs " + " ".join("%.9g" % v for v in kf.floor_coeffs) + "\n")
+                if kf.utm_coord is not None:
+                    f.write("utm_coord " + " ".join("%.9g" % v for v in kf.utm_coord) + "\n")
+                if kf.acceleration is not None:
+                    f.write("acceleration " + " ".join("%.9g" % v for v in kf.acceleration) + "\n")
+                if kf.orientation is not None:
+                    f.write("orientation " + " ".join("%.9g" % v for v in kf.orientation) + "\n")
+                f.write(f"id {kf.node_id}\n")
+            xyz = kf.cloud.to_numpy()
+            pcdio.save_pcd(os.path.join(kdir, "cloud.pcd"), xyz)
+        if self.zero_utm is not None:
+            with open(os.path.join(directory, "zero_utm"), "w") as f:
+                f.write("%.6f %.6f %.6f\n" % tuple(self.zero_utm))
+        with open(os.path.join(directory, "special_nodes.csv"), "w") as f:
+            f.write(f"anchor_node {-1 if self.anchor_node_id is None else self.anchor_node_id}\n")
+            f.write(f"anchor_edge {-1}\n")
+            f.write(f"floor_node {-1 if self.floor_plane_node_id is None else self.floor_plane_node_id}\n")
+        return True
+
+    def load(self, directory: str) -> bool:
+        """load_service (:818-923): rebuild graph + keyframes from a dump."""
+        import os
+
+        from ..core import cloud as cloudlib
+        from ..graph.io import load_g2o
+        from ..io import pcd as pcdio
+
+        self.graph = load_g2o(os.path.join(directory, "graph.g2o"))
+        self.keyframes = []
+        self.keyframe_hash = {}
+        i = 0
+        while True:
+            kdir = os.path.join(directory, "%06d" % i)
+            if not os.path.isdir(kdir):
+                break
+            fields = {}
+            matrix_keys = {}
+            lines = open(os.path.join(kdir, "data")).read().splitlines()
+            j = 0
+            while j < len(lines):
+                parts = lines[j].split()
+                if not parts:
+                    j += 1
+                    continue
+                if parts[0] in ("estimate", "odom"):
+                    rows = [[float(v) for v in lines[j + k + 1].split()] for k in range(4)]
+                    matrix_keys[parts[0]] = np.asarray(rows)
+                    j += 5
+                else:
+                    fields[parts[0]] = parts[1:]
+                    j += 1
+            xyz, inten = pcdio.load_pcd(os.path.join(kdir, "cloud.pcd"))
+            secs, nsecs = int(fields["stamp"][0]), int(fields["stamp"][1])
+            kf = KeyFrame(
+                stamp=secs + nsecs * 1e-9,
+                odom=matrix_keys["odom"],
+                accum_distance=float(fields["accum_distance"][0]),
+                cloud=cloudlib.from_numpy(xyz, intensity=inten),
+                node_id=int(fields["id"][0]),
+            )
+            if "floor_coeffs" in fields:
+                kf.floor_coeffs = np.array([float(v) for v in fields["floor_coeffs"]])
+            if "utm_coord" in fields:
+                kf.utm_coord = np.array([float(v) for v in fields["utm_coord"]])
+            if "acceleration" in fields:
+                kf.acceleration = np.array([float(v) for v in fields["acceleration"]])
+            if "orientation" in fields:
+                kf.orientation = np.array([float(v) for v in fields["orientation"]])
+            self.keyframes.append(kf)
+            self.keyframe_hash[kf.stamp] = kf
+            i += 1
+        zpath = os.path.join(directory, "zero_utm")
+        if os.path.exists(zpath):
+            self.zero_utm = np.array([float(v) for v in open(zpath).read().split()])
+        spath = os.path.join(directory, "special_nodes.csv")
+        if os.path.exists(spath):
+            for line in open(spath):
+                parts = line.split()
+                if len(parts) == 2:
+                    if parts[0] == "anchor_node" and int(parts[1]) >= 0:
+                        self.anchor_node_id = int(parts[1])
+                        if self.keyframes:
+                            self.anchor_edge_first_kf = self.keyframes[0].node_id
+                    elif parts[0] == "floor_node" and int(parts[1]) >= 0:
+                        self.floor_plane_node_id = int(parts[1])
+        if self.keyframes:
+            self.keyframe_updater.is_first = False
+            self.keyframe_updater.accum_distance = self.keyframes[-1].accum_distance
+            self.keyframe_updater.prev_keypose = self.keyframes[-1].odom.copy()
+        self.snapshots = [
+            KeyFrameSnapshot(pose=self.graph.poses[kf.node_id], cloud=kf.cloud) for kf in self.keyframes
+        ]
+        return True

@@ -1,0 +1,122 @@
+"""Offline pipeline driver: dataset -> prefilter -> odometry -> floor ->
+backend -> trajectory/map.
+
+Replaces the reference's ROS launch graph + bag_player.py flow control
+(SURVEY.md §3.6): offline ingestion is directly file-driven and
+deterministic — each frame flows through every stage synchronously, and the
+backend optimization cycle fires on the reference's cadence
+(graph_update_interval of stream time, default 3 s).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from .backend import FloorMeasurement, GpsMeasurement, HdlGraphSlam, ImuMeasurement
+from .core import cloud as cloudlib
+from .core.config import SlamConfig
+from .frontend import FloorDetector, Prefilter, ScanMatchingOdometry
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    trajectory: list  # [(stamp, 4x4)]
+    odometry_trajectory: list
+    num_frames: int
+    num_keyframes: int
+    wall_time_s: float
+    frames_per_second: float
+
+
+class SlamPipeline:
+    """End-to-end offline SLAM over an iterator of sensor frames."""
+
+    def __init__(self, cfg: Optional[SlamConfig] = None, cloud_capacity: int = 16384):
+        self.cfg = cfg or SlamConfig()
+        self.cloud_capacity = cloud_capacity
+        self.prefilter = Prefilter(self.cfg.prefilter, out_capacity=cloud_capacity)
+        self.odometry = ScanMatchingOdometry(self.cfg.odometry)
+        self.floor = FloorDetector(self.cfg.floor) if self.cfg.floor.enabled else None
+        self.slam = HdlGraphSlam(self.cfg)
+        self._last_optimize_stream_time: Optional[float] = None
+        self.odometry_trajectory = []
+
+    def process_frame(self, stamp: float, xyz: np.ndarray, intensity: Optional[np.ndarray] = None) -> np.ndarray:
+        cloud = cloudlib.from_numpy(xyz, intensity=intensity)
+        filtered = self.prefilter(cloud)
+        odom = self.odometry.step(stamp, filtered)
+        self.odometry_trajectory.append((stamp, odom))
+        self.slam.add_frame(stamp, odom, filtered)
+        if self.floor is not None:
+            coeffs = self.floor.detect(filtered)
+            if coeffs is not None:
+                self.slam.add_floor(FloorMeasurement(stamp=stamp, coeffs=coeffs))
+        if self._last_optimize_stream_time is None:
+            self._last_optimize_stream_time = stamp
+        elif stamp - self._last_optimize_stream_time >= self.cfg.backend.graph_update_interval:
+            self.slam.optimize_cycle()
+            self._last_optimize_stream_time = stamp
+        return odom
+
+    def add_gps(self, stamp: float, lat: float, lon: float, alt: float = float("nan")) -> None:
+        self.slam.add_gps(GpsMeasurement(stamp=stamp, lat=lat, lon=lon, alt=alt))
+
+    def add_imu(self, stamp: float, orientation_wxyz, acceleration) -> None:
+        self.slam.add_imu(
+            ImuMeasurement(stamp=stamp, orientation=np.asarray(orientation_wxyz), acceleration=np.asarray(acceleration))
+        )
+
+    def add_nmea(self, stamp: float, sentence: str) -> None:
+        from .io import nmea
+
+        out = nmea.parse(sentence)
+        if out.status == "A":
+            self.add_gps(stamp, out.latitude, out.longitude)
+
+    def finish(self) -> None:
+        """Flush all queues and run a final optimization."""
+        self.slam.cfg.backend.max_keyframes_per_update = max(
+            self.slam.cfg.backend.max_keyframes_per_update, len(self.slam.keyframe_queue)
+        )
+        self.slam.optimize_cycle()
+        self.slam.optimize_cycle()
+
+    def run(self, frames: Iterable[Tuple[float, np.ndarray, Optional[np.ndarray]]]) -> PipelineResult:
+        t0 = time.perf_counter()
+        n = 0
+        for item in frames:
+            stamp, xyz = item[0], item[1]
+            intensity = item[2] if len(item) > 2 else None
+            self.process_frame(stamp, xyz, intensity)
+            n += 1
+        self.finish()
+        wall = time.perf_counter() - t0
+        return PipelineResult(
+            trajectory=self.slam.trajectory(),
+            odometry_trajectory=self.odometry_trajectory,
+            num_frames=n,
+            num_keyframes=len(self.slam.keyframes),
+            wall_time_s=wall,
+            frames_per_second=n / wall if wall > 0 else 0.0,
+        )
+
+
+def frames_from_rosbag(path: str, points_topic: str = "/velodyne_points") -> Iterator:
+    """Yield (stamp, xyz, intensity) from a bag (bag_player.py replacement)."""
+    from .io import rosbag as rb
+
+    reader = rb.BagReader(path)
+    for m in reader.messages(topics=[points_topic]):
+        stamp, _frame, xyz, inten = rb.parse_pointcloud2(m.raw)
+        yield (stamp if stamp > 0 else m.stamp), xyz, inten
+
+
+def frames_from_kitti(sequence_dir: str) -> Iterator:
+    from .io.kitti import KittiOdometrySequence
+
+    for stamp, xyz, refl in KittiOdometrySequence(sequence_dir):
+        yield stamp, xyz, refl

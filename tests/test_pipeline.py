@@ -229,3 +229,118 @@ class TestFullSlam:
         zs = np.array([slam.graph.poses[k.node_id][2, 3] for k in slam.keyframes])
         drift = np.abs(zs - 1.8)
         assert np.mean(drift) < 0.05, zs
+
+
+class TestPersistence:
+    def test_dump_load_roundtrip(self, world, tmp_path):
+        from hdl_graph_slam_tpu.backend import HdlGraphSlam
+
+        cfg = SlamConfig()
+        cfg.backend.keyframe_delta_trans = 1.0
+        cfg.backend.max_keyframes_per_update = 100
+        cfg.backend.fix_first_node = True
+        slam = HdlGraphSlam(cfg)
+        for i in range(6):
+            T = np.eye(4)
+            T[0, 3] = float(i) * 1.5
+            scan = scan_at(world, T, seed=i)
+            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=4096))
+        slam.optimize_cycle()
+
+        d = str(tmp_path / "dump")
+        assert slam.dump(d)
+
+        slam2 = HdlGraphSlam(cfg)
+        assert slam2.load(d)
+        assert len(slam2.keyframes) == len(slam.keyframes)
+        for a, b in zip(slam.keyframes, slam2.keyframes):
+            np.testing.assert_allclose(
+                slam.graph.poses[a.node_id], slam2.graph.poses[b.node_id], atol=1e-6
+            )
+            assert abs(a.accum_distance - b.accum_distance) < 1e-6
+        # graph content survived
+        assert slam2.graph.num_edges == slam.graph.num_edges
+        # resume: can keep adding frames and optimizing
+        T = np.eye(4)
+        T[0, 3] = 9.0
+        slam2.add_frame(6.0, T, slam.keyframes[0].cloud)
+        slam2.optimize_cycle()
+
+    def test_g2o_roundtrip(self, tmp_path):
+        from hdl_graph_slam_tpu.graph import GraphBuilder
+        from hdl_graph_slam_tpu.graph.io import load_g2o, save_g2o
+
+        g = GraphBuilder()
+        T0 = np.eye(4)
+        T1 = np.eye(4)
+        T1[:3, 3] = [1.0, 0.5, 0.2]
+        i0 = g.add_se3_node(T0, fixed=True)
+        i1 = g.add_se3_node(T1)
+        p0 = g.add_plane_node([0, 0, 1.0, 0.3], fixed=True)
+        g.add_se3_edge(i1, i0, np.linalg.inv(T1), np.eye(6) * 5, kernel="Huber", kernel_delta=0.7)
+        g.add_se3_plane_edge(i1, p0, [0, 0, 1.0, 0.3], np.eye(3) * 2)
+        g.add_se3_prior_xyz_edge(i1, [1.0, 0.5, 0.2], np.eye(3))
+
+        path = str(tmp_path / "g.g2o")
+        save_g2o(g, path)
+        g2 = load_g2o(path)
+        assert len(g2.poses) == 2 and len(g2.planes) == 1
+        assert g2.pose_fixed[0] and g2.plane_fixed[0]
+        np.testing.assert_allclose(g2.poses[1], T1, atol=1e-6)
+        assert g2.num_edges == 3
+        row = g2.edge_rows["se3_se3"][0]
+        assert row["kernel_id"] != 0 and abs(row["kernel_delta"] - 0.7) < 1e-9
+        np.testing.assert_allclose(row["meas"], np.linalg.inv(T1), atol=1e-6)
+
+    def test_save_map(self, world, tmp_path):
+        from hdl_graph_slam_tpu.backend import HdlGraphSlam
+        from hdl_graph_slam_tpu.io import pcd as pcdio
+
+        cfg = SlamConfig()
+        cfg.backend.max_keyframes_per_update = 100
+        slam = HdlGraphSlam(cfg)
+        for i in range(3):
+            T = np.eye(4)
+            T[0, 3] = float(i) * 3.0
+            scan = scan_at(world, T, seed=i)
+            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=4096))
+        slam.optimize_cycle()
+        p = str(tmp_path / "map.pcd")
+        assert slam.save_map(p, resolution=0.5)
+        xyz, _ = pcdio.load_pcd(p)
+        assert xyz.shape[0] > 100
+
+
+class TestOfflinePipeline:
+    def test_run_synthetic(self, world):
+        from hdl_graph_slam_tpu.pipeline import SlamPipeline
+
+        cfg = SlamConfig()
+        cfg.prefilter.downsample_resolution = 0.4
+        cfg.prefilter.outlier_removal_method = "NONE"
+        cfg.odometry.keyframe_delta_trans = 1.0
+        cfg.odometry.keyframe_delta_time = 1e9
+        cfg.backend.keyframe_delta_trans = 1.0
+        cfg.backend.graph_update_interval = 3.0
+        cfg.floor.enabled = True
+        cfg.floor.sensor_height = 1.8
+        cfg.floor.floor_pts_thresh = 50
+
+        pipe = SlamPipeline(cfg, cloud_capacity=8192)
+        poses = drive_square(side=4.0, step=1.0)[:10]
+        frames = []
+        for i, pose in enumerate(poses):
+            frames.append((float(i), scan_at(world, pose, seed=i), None))
+        result = pipe.run(frames)
+        assert result.num_frames == 10
+        assert result.num_keyframes >= 4
+        # odometry should track within tolerance
+        est = result.trajectory[-1][1]
+        sensor_last = poses[len(poses) - 1].copy()
+        sensor_last[2, 3] += 1.8
+        sensor_0 = poses[0].copy()
+        sensor_0[2, 3] += 1.8
+        T_true = np.linalg.inv(sensor_0) @ sensor_last
+        # account: trajectory poses are odometry-frame (start at first kf)
+        err = np.linalg.norm(est[:3, 3] - T_true[:3, 3])
+        assert err < 0.5, (est[:3, 3], T_true[:3, 3])
