@@ -32,9 +32,10 @@ def estimate_normals(cloud: PointCloud, k: int, viewpoint) -> jax.Array:
     mean = jnp.mean(nbrs, axis=1, keepdims=True)
     centered = nbrs - mean
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
-    # smallest eigenvector of each 3x3 covariance
-    _, evecs = jnp.linalg.eigh(cov)
-    normal = evecs[:, :, 0]
+    # smallest eigenvector of each 3x3 covariance (closed form, ops/eig3.py)
+    from .eig3 import smallest_eigenvector3
+
+    _, normal = smallest_eigenvector3(cov)
     # orient towards viewpoint (PCL flipNormalTowardsViewpoint)
     to_vp = viewpoint[None, :] - cloud.xyz
     flip = jnp.sum(normal * to_vp, axis=-1) < 0

@@ -168,11 +168,10 @@ def build_gaussian_voxels(
 
     if regularize == "ndt":
         # PCL NDT: inflate small eigenvalues to 0.01 * lambda_max
-        evals, evecs = jnp.linalg.eigh(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
-        lam_max = evals[:, 2]
-        floor = 0.01 * lam_max
-        evals = jnp.maximum(evals, floor[:, None])
-        covs = jnp.einsum("vij,vj,vkj->vik", evecs, evals, evecs)
+        # (closed-form, ops/eig3.py)
+        from .eig3 import floor_regularize
+
+        covs = floor_regularize(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
 
     means = jnp.where(vmask[:, None], means, PAD_COORD)
     return GaussianVoxels(

@@ -20,6 +20,7 @@ from .backend import FloorMeasurement, GpsMeasurement, HdlGraphSlam, ImuMeasurem
 from .core import cloud as cloudlib
 from .core.config import SlamConfig
 from .frontend import FloorDetector, Prefilter, ScanMatchingOdometry
+from .utils.metrics import GLOBAL_TIMER
 
 
 @dataclasses.dataclass
@@ -46,19 +47,24 @@ class SlamPipeline:
         self.odometry_trajectory = []
 
     def process_frame(self, stamp: float, xyz: np.ndarray, intensity: Optional[np.ndarray] = None) -> np.ndarray:
-        cloud = cloudlib.from_numpy(xyz, intensity=intensity)
-        filtered = self.prefilter(cloud)
-        odom = self.odometry.step(stamp, filtered)
+        with GLOBAL_TIMER.span("ingest"):
+            cloud = cloudlib.from_numpy(xyz, intensity=intensity)
+        with GLOBAL_TIMER.span("prefilter"):
+            filtered = self.prefilter(cloud)
+        with GLOBAL_TIMER.span("odometry"):
+            odom = self.odometry.step(stamp, filtered)
         self.odometry_trajectory.append((stamp, odom))
         self.slam.add_frame(stamp, odom, filtered)
         if self.floor is not None:
-            coeffs = self.floor.detect(filtered)
+            with GLOBAL_TIMER.span("floor_detection"):
+                coeffs = self.floor.detect(filtered)
             if coeffs is not None:
                 self.slam.add_floor(FloorMeasurement(stamp=stamp, coeffs=coeffs))
         if self._last_optimize_stream_time is None:
             self._last_optimize_stream_time = stamp
         elif stamp - self._last_optimize_stream_time >= self.cfg.backend.graph_update_interval:
-            self.slam.optimize_cycle()
+            with GLOBAL_TIMER.span("optimize_cycle"):
+                self.slam.optimize_cycle()
             self._last_optimize_stream_time = stamp
         return odom
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.cloud import PointCloud
 from ..ops import knn
+from ..ops.eig3 import plane_regularize
 from .base import AlignResult, lm_loop
 
 
@@ -48,10 +49,10 @@ class GicpCloud:
 
 
 def _regularize_covs_plane(covs: jax.Array) -> jax.Array:
-    """fast_gicp RegularizationMethod::PLANE: eigenvalues -> (1e-3, 1, 1)."""
-    evals, evecs = jnp.linalg.eigh(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
-    new_evals = jnp.asarray([1e-3, 1.0, 1.0], dtype=covs.dtype)
-    return jnp.einsum("nij,j,nkj->nik", evecs, new_evals, evecs)
+    """fast_gicp RegularizationMethod::PLANE: eigenvalues -> (1e-3, 1, 1),
+    via the closed-form smallest eigenvector (ops/eig3.py) instead of a
+    batched iterative eigh."""
+    return plane_regularize(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -1,1 +1,1 @@
-
+from . import metrics, markers

@@ -193,3 +193,51 @@ class TestRansac:
         np.testing.assert_allclose(coeffs[:3], [0, 0, 1], atol=0.02)
         assert abs(coeffs[3] - 1.8) < 0.05
         assert int(res.num_inliers) > 350
+
+
+class TestEig3:
+    def test_eigvals_match_numpy(self):
+        from hdl_graph_slam_tpu.ops import eig3
+
+        rng = np.random.default_rng(20)
+        A = rng.standard_normal((200, 3, 3))
+        A = A @ np.swapaxes(A, 1, 2)
+        lams = np.asarray(eig3.eigvalsh3(jnp.asarray(A)))
+        expect = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(lams, expect, rtol=1e-6, atol=1e-8)
+
+    def test_smallest_eigenvector(self):
+        from hdl_graph_slam_tpu.ops import eig3
+
+        rng = np.random.default_rng(21)
+        A = rng.standard_normal((100, 3, 3))
+        A = A @ np.swapaxes(A, 1, 2)
+        lam, v = eig3.smallest_eigenvector3(jnp.asarray(A))
+        # A v = lam v
+        Av = np.einsum("nij,nj->ni", A, np.asarray(v))
+        np.testing.assert_allclose(Av, np.asarray(lam)[:, None] * np.asarray(v), atol=1e-6)
+
+    def test_plane_regularize(self):
+        from hdl_graph_slam_tpu.ops import eig3
+
+        rng = np.random.default_rng(22)
+        A = rng.standard_normal((50, 3, 3)) * 0.5
+        A = A @ np.swapaxes(A, 1, 2)
+        R = np.asarray(eig3.plane_regularize(jnp.asarray(A)))
+        lams = np.linalg.eigvalsh(R)
+        np.testing.assert_allclose(lams[:, 0], 1e-3, atol=1e-6)
+        np.testing.assert_allclose(lams[:, 1:], 1.0, atol=1e-6)
+
+    def test_floor_regularize(self):
+        from hdl_graph_slam_tpu.ops import eig3
+
+        rng = np.random.default_rng(23)
+        # very flat covariances
+        d = np.stack([np.diag([4.0, 1.0, 1e-6]) for _ in range(10)])
+        q = rng.standard_normal((10, 3, 3))
+        Q = np.linalg.qr(q)[0]
+        A = np.einsum("nij,njk,nlk->nil", Q, d, Q)
+        R = np.asarray(eig3.floor_regularize(jnp.asarray(A), rel_floor=0.01))
+        lams = np.linalg.eigvalsh(R)
+        assert (lams[:, 0] >= 0.01 * lams[:, 2] - 1e-7).all()
+        np.testing.assert_allclose(lams[:, 2], 4.0, rtol=1e-5)
