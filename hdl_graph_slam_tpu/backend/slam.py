@@ -13,6 +13,7 @@ ROS queues/timers replaced by explicit method calls from the pipeline driver:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -66,6 +67,13 @@ class HdlGraphSlam:
         self.floor_queue: List[FloorMeasurement] = []
 
         self.trans_odom2map = np.eye(4)
+        # concurrency: the reference guards its queues and graph with
+        # per-queue mutexes + main_thread_mutex (hdl_graph_slam_nodelet.cpp:
+        # 1056-1090); here one lock covers queue mutation and one covers the
+        # optimize cycle, enabling an async backend thread (see
+        # pipeline.AsyncBackend).
+        self.queue_lock = threading.Lock()
+        self.main_lock = threading.Lock()
         self.zero_utm: Optional[np.ndarray] = None
         self.anchor_node_id: Optional[int] = None
         self.anchor_edge_first_kf: Optional[int] = None
@@ -85,26 +93,35 @@ class HdlGraphSlam:
             accum_distance=self.keyframe_updater.get_accum_distance(),
             cloud=cloud,
         )
-        self.keyframe_queue.append(kf)
+        with self.queue_lock:
+            self.keyframe_queue.append(kf)
         return True
 
     def add_gps(self, m: GpsMeasurement) -> None:
         m.stamp += self.cfg.backend.gps_time_offset
-        self.gps_queue.append(m)
+        with self.queue_lock:
+            self.gps_queue.append(m)
 
     def add_imu(self, m: ImuMeasurement) -> None:
         m.stamp += self.cfg.backend.imu_time_offset
-        self.imu_queue.append(m)
+        with self.queue_lock:
+            self.imu_queue.append(m)
 
     def add_floor(self, m: FloorMeasurement) -> None:
-        self.floor_queue.append(m)
+        with self.queue_lock:
+            self.floor_queue.append(m)
 
     # -- queue flushing ------------------------------------------------------
 
     def _flush_keyframe_queue(self) -> bool:
         """(:184-249): admit up to max_keyframes_per_update keyframes, add
         pose nodes (odom2map * odom) and consecutive odometry edges with
-        adaptive information; anchor the first node if configured."""
+        adaptive information; anchor the first node if configured. Holds the
+        queue lock for the whole flush like the reference (:185)."""
+        with self.queue_lock:
+            return self._flush_keyframe_queue_locked()
+
+    def _flush_keyframe_queue_locked(self) -> bool:
         if not self.keyframe_queue:
             return False
         b = self.cfg.backend
@@ -149,6 +166,10 @@ class HdlGraphSlam:
         XY or XYZ prior edge with info I/stddev."""
         from ..io import geodesy
 
+        with self.queue_lock:
+            return self._flush_gps_queue_locked(geodesy)
+
+    def _flush_gps_queue_locked(self, geodesy) -> bool:
         if not self.keyframes or not self.gps_queue:
             return False
         b = self.cfg.backend
@@ -187,6 +208,10 @@ class HdlGraphSlam:
 
     def _flush_imu_queue(self) -> bool:
         """(:370-451): orientation quat prior + gravity-vector prior."""
+        with self.queue_lock:
+            return self._flush_imu_queue_locked()
+
+    def _flush_imu_queue_locked(self) -> bool:
         if not self.keyframes or not self.imu_queue:
             return False
         b = self.cfg.backend
@@ -229,6 +254,10 @@ class HdlGraphSlam:
     def _flush_floor_queue(self) -> bool:
         """(:470-511): exact-stamp association to keyframes, shared fixed
         floor plane node, SE3->plane edges."""
+        with self.queue_lock:
+            return self._flush_floor_queue_locked()
+
+    def _flush_floor_queue_locked(self) -> bool:
         if not self.keyframes:
             return False
         b = self.cfg.backend
@@ -258,7 +287,11 @@ class HdlGraphSlam:
 
     def optimize_cycle(self) -> bool:
         """optimization_timer_callback (:546-612). Returns True if the
-        estimates were updated."""
+        estimates were updated. Thread-safe vs the ingestion methods."""
+        with self.main_lock:
+            return self._optimize_cycle_locked()
+
+    def _optimize_cycle_locked(self) -> bool:
         b = self.cfg.backend
         keyframe_updated = self._flush_keyframe_queue()
         flushed = self._flush_floor_queue() | self._flush_gps_queue() | self._flush_imu_queue()

@@ -126,3 +126,47 @@ def frames_from_kitti(sequence_dir: str) -> Iterator:
 
     for stamp, xyz, refl in KittiOdometrySequence(sequence_dir):
         yield stamp, xyz, refl
+
+
+class AsyncBackend:
+    """Background optimization thread.
+
+    The reference decouples the sensor-rate frontend from the backend with a
+    3 s wall timer on the nodelet thread pool (optimization_timer_callback,
+    hdl_graph_slam_nodelet.cpp:137-139). This thread reproduces that: it
+    wakes every ``interval`` wall seconds and runs one optimize cycle while
+    the frontend keeps feeding queues (the HdlGraphSlam locks make this
+    safe). Use as a context manager around a real-time run.
+    """
+
+    def __init__(self, slam: HdlGraphSlam, interval: Optional[float] = None):
+        import threading
+
+        self.slam = slam
+        self.interval = interval if interval is not None else slam.cfg.backend.graph_update_interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.cycles = 0
+        self.errors: list = []
+
+    def _loop(self):
+        while not self._stop.wait(self.interval):
+            try:
+                with GLOBAL_TIMER.span("async_optimize_cycle"):
+                    self.slam.optimize_cycle()
+                self.cycles += 1
+            except Exception as e:  # surfaced on join; never kills ingestion
+                self.errors.append(e)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join()
+        if self.errors:
+            raise self.errors[0]

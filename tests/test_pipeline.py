@@ -344,3 +344,24 @@ class TestOfflinePipeline:
         # account: trajectory poses are odometry-frame (start at first kf)
         err = np.linalg.norm(est[:3, 3] - T_true[:3, 3])
         assert err < 0.5, (est[:3, 3], T_true[:3, 3])
+
+
+class TestAsyncBackend:
+    def test_async_optimize_runs_concurrently(self, world):
+        import time as _time
+
+        from hdl_graph_slam_tpu.pipeline import AsyncBackend
+
+        cfg = SlamConfig()
+        cfg.backend.keyframe_delta_trans = 0.5
+        cfg.backend.max_keyframes_per_update = 100
+        slam = HdlGraphSlam(cfg)
+        with AsyncBackend(slam, interval=0.05) as bk:
+            for i in range(8):
+                T = np.eye(4)
+                T[0, 3] = float(i)
+                scan = scan_at(world, T, seed=i)
+                slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=4096))
+                _time.sleep(0.03)
+        assert bk.cycles >= 1
+        assert len(slam.keyframes) >= 6
