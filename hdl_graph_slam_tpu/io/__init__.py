@@ -1,1 +1,1 @@
-from . import geodesy, nmea, pcd, kitti, trajectory, rosbag
+from . import geodesy, nmea, pcd, kitti, trajectory, rosbag, ford, native

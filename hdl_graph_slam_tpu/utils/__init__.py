@@ -1,1 +1,1 @@
-from . import metrics, markers
+from . import metrics, markers, tf

@@ -192,3 +192,43 @@ class TestRosbag:
         assert frame_id == "velodyne"
         np.testing.assert_allclose(xyz, [[1, 2, 3], [4, 5, 6]])
         np.testing.assert_allclose(inten, [10, 20])
+
+
+class TestNative:
+    def test_native_lib_builds(self):
+        from hdl_graph_slam_tpu.io import native
+
+        assert native.available()
+
+    def test_voxel_downsample_matches_device(self):
+        import jax.numpy as jnp
+
+        from hdl_graph_slam_tpu.core import cloud as cloudlib
+        from hdl_graph_slam_tpu.io import native
+        from hdl_graph_slam_tpu.ops import voxel
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-10, 10, (5000, 3)).astype(np.float32)
+        host = native.voxel_downsample(pts, 1.0, cap=4096)
+        dev = voxel.voxel_downsample(cloudlib.from_numpy(pts, capacity=8192), 1.0, max_voxels=4096).to_numpy()
+        assert host.shape[0] == dev.shape[0]
+        # same centroid set (order-independent)
+        h = host[np.lexsort(host.T)]
+        d = dev[np.lexsort(dev.T)]
+        np.testing.assert_allclose(h, d, atol=1e-4)
+
+    def test_distance_filter(self):
+        from hdl_graph_slam_tpu.io import native
+
+        pts = np.array([[0.5, 0, 0], [5, 0, 0], [200, 0, 0]], dtype=np.float32)
+        out = native.distance_filter(pts, 1.0, 100.0)
+        np.testing.assert_allclose(out, [[5, 0, 0]])
+
+    def test_pc2_extract(self):
+        from hdl_graph_slam_tpu.io import native
+
+        pts = np.array([[1, 2, 3, 9], [np.nan, 0, 0, 0], [4, 5, 6, 8]], dtype=np.float32)
+        data = pts.tobytes()
+        xyz, inten = native.pc2_extract(data, 3, 16, 0, 4, 8, 12)
+        np.testing.assert_allclose(xyz, [[1, 2, 3], [4, 5, 6]])
+        np.testing.assert_allclose(inten, [9, 8])
