@@ -56,6 +56,7 @@ class OdometryConfig:
     max_acceptable_angle: float = 1.0
     downsample_method: str = "NONE"
     downsample_resolution: float = 0.1
+    enable_imu_frontend: bool = False  # msf EKF init-guess hook equivalent
     registration: RegistrationConfig = field(default_factory=RegistrationConfig)
 
 

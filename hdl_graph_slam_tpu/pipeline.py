@@ -45,14 +45,22 @@ class SlamPipeline:
         self.slam = HdlGraphSlam(self.cfg)
         self._last_optimize_stream_time: Optional[float] = None
         self.odometry_trajectory = []
+        self.imu_predictor = None
+        if self.cfg.odometry.enable_imu_frontend:
+            from .frontend.imu_prediction import ImuPredictor
+
+            self.imu_predictor = ImuPredictor()
 
     def process_frame(self, stamp: float, xyz: np.ndarray, intensity: Optional[np.ndarray] = None) -> np.ndarray:
         with GLOBAL_TIMER.span("ingest"):
             cloud = cloudlib.from_numpy(xyz, intensity=intensity)
         with GLOBAL_TIMER.span("prefilter"):
             filtered = self.prefilter(cloud)
+        msf_delta = None
+        if self.imu_predictor is not None:
+            msf_delta = self.imu_predictor.predict_delta(stamp)
         with GLOBAL_TIMER.span("odometry"):
-            odom = self.odometry.step(stamp, filtered)
+            odom = self.odometry.step(stamp, filtered, msf_delta=msf_delta)
         self.odometry_trajectory.append((stamp, odom))
         self.slam.add_frame(stamp, odom, filtered)
         if self.floor is not None:
@@ -71,10 +79,12 @@ class SlamPipeline:
     def add_gps(self, stamp: float, lat: float, lon: float, alt: float = float("nan")) -> None:
         self.slam.add_gps(GpsMeasurement(stamp=stamp, lat=lat, lon=lon, alt=alt))
 
-    def add_imu(self, stamp: float, orientation_wxyz, acceleration) -> None:
+    def add_imu(self, stamp: float, orientation_wxyz, acceleration, angular_velocity=None) -> None:
         self.slam.add_imu(
             ImuMeasurement(stamp=stamp, orientation=np.asarray(orientation_wxyz), acceleration=np.asarray(acceleration))
         )
+        if self.imu_predictor is not None and angular_velocity is not None:
+            self.imu_predictor.add_imu(stamp, angular_velocity, acceleration)
 
     def add_nmea(self, stamp: float, sentence: str) -> None:
         from .io import nmea

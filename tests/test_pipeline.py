@@ -365,3 +365,25 @@ class TestAsyncBackend:
                 _time.sleep(0.03)
         assert bk.cycles >= 1
         assert len(slam.keyframes) >= 6
+
+
+class TestImuPrediction:
+    def test_identity_without_imu(self):
+        from hdl_graph_slam_tpu.frontend.imu_prediction import ImuPredictor
+
+        p = ImuPredictor()
+        np.testing.assert_allclose(p.predict_delta(0.0), np.eye(4))
+        np.testing.assert_allclose(p.predict_delta(0.1), np.eye(4))
+
+    def test_gyro_integration(self):
+        from hdl_graph_slam_tpu.frontend.imu_prediction import ImuPredictor
+
+        p = ImuPredictor()
+        p.predict_delta(0.0)  # set frame time
+        # constant yaw rate 1 rad/s for 0.1 s at 100 Hz, gravity-only accel
+        for k in range(1, 11):
+            p.add_imu(k * 0.01, [0, 0, 1.0], [0, 0, 9.80665])
+        T = p.predict_delta(0.1)
+        ang = np.arctan2(T[1, 0], T[0, 0])
+        assert abs(ang - 0.1) < 0.015
+        assert np.linalg.norm(T[:3, 3]) < 0.01  # gravity compensated
