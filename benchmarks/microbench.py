@@ -1,0 +1,101 @@
+"""Microbenchmarks for the hot kernels (SURVEY.md §7 step 10).
+
+Prints one JSON line per metric. Run on the TPU (default env) or CPU
+(JAX_PLATFORMS=cpu). The driver-facing headline metric lives in /bench.py;
+these are the per-kernel speed-of-light diagnostics.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, reps=20):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hdl_graph_slam_tpu.core import cloud as cloudlib, se3
+    from hdl_graph_slam_tpu.graph import GraphBuilder
+    from hdl_graph_slam_tpu.graph.linearize import build_system
+    from hdl_graph_slam_tpu.graph.solver import optimize
+    from hdl_graph_slam_tpu.ops import knn, voxel
+    from hdl_graph_slam_tpu.registration import gicp  # noqa
+
+    results = []
+    rng = np.random.default_rng(0)
+
+    n = 8192
+    pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    c = cloudlib.from_numpy(pts, capacity=n)
+    xyz = c.valid_xyz()
+
+    dt = timeit(jax.jit(lambda a, b: knn.nn1(a, b)), xyz, xyz)
+    results.append({"metric": "nn1_8192x8192_ms", "value": round(dt * 1e3, 3), "unit": "ms"})
+    results.append(
+        {"metric": "nn1_throughput", "value": round(n * n / dt / 1e9, 1), "unit": "Gpairs/s"}
+    )
+
+    dt = timeit(jax.jit(lambda a, b: knn.knn(a, b, 20)), xyz, xyz)
+    results.append({"metric": "knn20_8192_ms", "value": round(dt * 1e3, 3), "unit": "ms"})
+
+    dt = timeit(
+        jax.jit(lambda cl: voxel.voxel_downsample(cl, 0.5, max_voxels=8192)), c
+    )
+    results.append({"metric": "voxel_downsample_8192_ms", "value": round(dt * 1e3, 3), "unit": "ms"})
+
+    from hdl_graph_slam_tpu.registration import gicp
+
+    pp = jax.jit(lambda cl: gicp.preprocess(cl))
+    dt = timeit(pp, c)
+    results.append({"metric": "gicp_preprocess_8192_ms", "value": round(dt * 1e3, 3), "unit": "ms"})
+
+    # graph optimization iterations/s: 256-pose chain + loops
+    g = GraphBuilder()
+    ids = []
+    est = np.eye(4)
+    for k in range(256):
+        if k == 0:
+            ids.append(g.add_se3_node(np.eye(4), fixed=True))
+            continue
+        rel = np.eye(4)
+        rel[0, 3] = 1.0
+        est = est @ rel
+        ids.append(g.add_se3_node(est))
+        g.add_se3_edge(ids[k], ids[k - 1], np.linalg.inv(rel), np.eye(6) * 10)
+    for k in range(16, 256, 16):
+        g.add_se3_edge(ids[k], ids[k - 16], np.eye(4), np.eye(6), kernel="Huber")
+    data = g.freeze(dtype=jnp.float32)
+
+    lin = jax.jit(lambda d: build_system(d))
+    dt = timeit(lin, data, reps=10)
+    results.append({"metric": "graph_linearize_256pose_ms", "value": round(dt * 1e3, 3), "unit": "ms"})
+
+    opt = jax.jit(lambda d: optimize(d, max_iterations=32))
+    dt = timeit(opt, data, reps=3)
+    _, stats = opt(data)
+    iters = int(stats.iterations)
+    results.append(
+        {"metric": "graph_lm_iters_per_s_256pose", "value": round(iters / dt, 1), "unit": "iters/s"}
+    )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,11 +124,15 @@ def _scatter_block(H, b, J_a, J_b, r, info, w, rows_a, rows_b):
     return H, b
 
 
-def build_system(data: GraphData) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+def build_system(data: GraphData, axis_name=None) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Assemble dense H, b over all edge tables.
 
     Returns (H, b, chi2_raw, chi2_robust) where b = sum w J^T info r (the
     gradient half; solve (H + lam I) dx = -b).
+
+    With ``axis_name`` (inside shard_map over edge-sharded tables) the
+    partial systems are psum-reduced over the mesh axis — the distributed
+    Hessian assembly of BASELINE.json's north star.
     """
     D = data.num_dof
     dtype = data.poses.dtype
@@ -165,10 +169,15 @@ def build_system(data: GraphData) -> Tuple[jax.Array, jax.Array, jax.Array, jax.
             b2 = jnp.einsum("eia,eij,ej->ea", J2, wi, r)
             b = b.at[rows2].add(b2)
 
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
+        chi2_raw = jax.lax.psum(chi2_raw, axis_name)
+        chi2_rob = jax.lax.psum(chi2_rob, axis_name)
     return H, b, chi2_raw, chi2_rob
 
 
-def chi2_only(data: GraphData) -> Tuple[jax.Array, jax.Array]:
+def chi2_only(data: GraphData, axis_name=None) -> Tuple[jax.Array, jax.Array]:
     """Raw and robustified total chi2 without Jacobians (LM trial scoring)."""
     dtype = data.poses.dtype
     chi2_raw = jnp.zeros((), dtype)
@@ -188,6 +197,9 @@ def chi2_only(data: GraphData) -> Tuple[jax.Array, jax.Array]:
         rho0, _ = rho_and_weight(chi2, table.kernel_id, table.kernel_delta)
         chi2_raw = chi2_raw + jnp.sum(jnp.where(table.mask, chi2, 0.0))
         chi2_rob = chi2_rob + jnp.sum(jnp.where(table.mask, rho0, 0.0))
+    if axis_name is not None:
+        chi2_raw = jax.lax.psum(chi2_raw, axis_name)
+        chi2_rob = jax.lax.psum(chi2_rob, axis_name)
     return chi2_raw, chi2_rob
 
 

@@ -48,14 +48,21 @@ class _State(NamedTuple):
 @partial(jax.jit, static_argnames=("max_iterations",))
 def optimize(data: GraphData, max_iterations: int = 512) -> tuple[GraphData, OptimizeStats]:
     """Run LM for up to max_iterations accept/reject steps."""
+    return _optimize_impl(data, max_iterations, axis_name=None)
+
+
+def _optimize_impl(data: GraphData, max_iterations: int, axis_name=None) -> tuple[GraphData, OptimizeStats]:
+    """LM core; with ``axis_name`` the edge tables are assumed sharded over
+    that shard_map mesh axis and partial H/b/chi2 are psum-reduced (the
+    solve and vertex updates run replicated on every device)."""
     dtype = data.poses.dtype
     free = free_dof_mask(data)
     D = data.num_dof
     eyeD = jnp.eye(D, dtype=dtype)
 
-    chi2_raw0, chi2_rob0 = chi2_only(data)
+    chi2_raw0, chi2_rob0 = chi2_only(data, axis_name)
 
-    H0, _, _, _ = build_system(data)
+    H0, _, _, _ = build_system(data, axis_name)
     # g2o computeLambdaInit: tau * max diagonal over free dofs
     diag0 = jnp.where(free, jnp.diag(H0), 0.0)
     lam0 = 1e-5 * jnp.max(diag0)
@@ -65,14 +72,14 @@ def optimize(data: GraphData, max_iterations: int = 512) -> tuple[GraphData, Opt
         return (s.it < max_iterations) & jnp.logical_not(s.done)
 
     def body(s: _State):
-        H, b, _, chi2_rob = build_system(s.data)
+        H, b, _, chi2_rob = build_system(s.data, axis_name)
         # restrict to free dofs: zero fixed rows/cols, unit diagonal
         free_f = free.astype(dtype)
         Hf = H * free_f[:, None] * free_f[None, :] + jnp.diag(1.0 - free_f)
         bf = b * free_f
         dx = -jnp.linalg.solve(Hf + s.lam * jnp.diag(free_f), bf)
         data_new = apply_delta(s.data, dx)
-        _, chi2_new = chi2_only(data_new)
+        _, chi2_new = chi2_only(data_new, axis_name)
 
         accept = (chi2_new < chi2_rob) & jnp.isfinite(chi2_new)
         denom = jnp.dot(dx, s.lam * dx - bf)
@@ -107,7 +114,7 @@ def optimize(data: GraphData, max_iterations: int = 512) -> tuple[GraphData, Opt
         done=jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)
-    chi2_raw1, chi2_rob1 = chi2_only(final.data)
+    chi2_raw1, chi2_rob1 = chi2_only(final.data, axis_name)
     stats = OptimizeStats(
         iterations=final.it,
         chi2_before=chi2_raw0,

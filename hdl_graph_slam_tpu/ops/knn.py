@@ -94,6 +94,46 @@ def knn(query: jax.Array, target: jax.Array, k: int, chunk: int = 256) -> Tuple[
     return idx.reshape(-1, k)[:n], dist2.reshape(-1, k)[:n]
 
 
+@partial(jax.jit, static_argnames=("k", "chunk", "recall_target"))
+def knn_approx(
+    query: jax.Array,
+    target: jax.Array,
+    k: int,
+    chunk: int = 512,
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """k-NN via the TPU-accelerated partial reduction jax.lax.approx_min_k.
+
+    Used where a ~0.95-recall neighbor set is statistically equivalent to
+    the exact one — GICP covariance estimation over k=20 neighbors (the
+    covariances are plane-regularized afterwards, so a occasionally swapped
+    20th neighbor is invisible). Exact k-NN (knn) remains the default for
+    anything that gates behavior (fitness scores, correspondences).
+    Returns idx (N,k), exact squared distances (N,k) ascending.
+    """
+    n = query.shape[0]
+    q = _pad_rows(query, chunk, 0.0)
+    t_valid = jnp.all(jnp.abs(target) < 1.0e5, axis=-1, keepdims=True)
+    lo = jnp.min(jnp.where(t_valid, target, 1.0e5), axis=0)
+    hi = jnp.max(jnp.where(t_valid, target, -1.0e5), axis=0)
+    center = jnp.where(hi >= lo, 0.5 * (lo + hi), 0.0)
+    tc = target - center
+    t_norm2 = jnp.sum(tc * tc, axis=-1)
+
+    def one_chunk(qc):
+        qcc = qc - center
+        d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
+        _, cand = jax.lax.approx_min_k(d, k, recall_target=recall_target)
+        diff = qc[:, None, :] - target[cand]
+        d_exact = jnp.sum(diff * diff, axis=-1)
+        order = jnp.argsort(d_exact, axis=-1)
+        return jnp.take_along_axis(cand, order, axis=-1), jnp.take_along_axis(d_exact, order, axis=-1)
+
+    qc = q.reshape(-1, chunk, 3)
+    idx, dist2 = jax.lax.map(one_chunk, qc)
+    return idx.reshape(-1, k)[:n], dist2.reshape(-1, k)[:n]
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def radius_count(query: jax.Array, target: jax.Array, radius, chunk: int = 512) -> jax.Array:
     """Number of target points strictly within ``radius`` of each query point,

@@ -1,2 +1,2 @@
 from . import dist
-from .dist import make_mesh, sharded_candidate_align, distributed_lm_step
+from .dist import make_mesh, sharded_candidate_align, distributed_lm_step, distributed_optimize

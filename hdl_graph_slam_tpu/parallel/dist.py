@@ -108,6 +108,56 @@ def _pad_edges_for_shards(data: GraphData, n_shards: int) -> GraphData:
     return dataclasses.replace(data, edges=new_edges)
 
 
+def distributed_optimize(mesh: Mesh, data: GraphData, max_iterations: int = 512):
+    """Full LM optimization with edge-sharded linearization.
+
+    The entire accept/reject loop (graph/solver._optimize_impl) runs inside
+    one shard_map program: every device linearizes its |E|/n edge shard,
+    partial (H, b, chi2) ride psum over ICI each iteration, the damped dense
+    solve and vertex updates replicate. Semantically identical to the
+    single-chip graph.solver.optimize (same reduction tree up to float
+    reassociation).
+    """
+    from ..graph.solver import _optimize_impl
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    data = _pad_edges_for_shards(data, n)
+
+    edge_specs = {k: EdgeTable(vi=P(axis), vj=P(axis), meas=P(axis), info=P(axis),
+                               kernel_id=P(axis), kernel_delta=P(axis), mask=P(axis))
+                  for k in data.edges}
+    rep = P()
+    data_spec = GraphData(
+        poses=rep, pose_fixed=rep, pose_mask=rep,
+        planes=rep, plane_fixed=rep, plane_mask=rep,
+        points=rep, point_fixed=rep, point_mask=rep,
+        edges=edge_specs,
+    )
+
+    def prog(d: GraphData):
+        out, stats = _optimize_impl(d, max_iterations, axis_name=axis)
+        return out, stats
+
+    out_spec = (
+        GraphData(poses=rep, pose_fixed=rep, pose_mask=rep,
+                  planes=rep, plane_fixed=rep, plane_mask=rep,
+                  points=rep, point_fixed=rep, point_mask=rep,
+                  edges=edge_specs),
+        jax.tree_util.tree_map(lambda _: rep, _stats_struct()),
+    )
+    fn = jax.jit(_shard_map(prog, mesh, in_specs=(data_spec,), out_specs=out_spec))
+    return fn(data)
+
+
+def _stats_struct():
+    from ..graph.solver import OptimizeStats
+
+    z = 0
+    return OptimizeStats(iterations=z, chi2_before=z, chi2_after=z,
+                         chi2_robust_before=z, chi2_robust_after=z, lam_final=z)
+
+
 def distributed_lm_step(mesh: Mesh, data: GraphData, lam) -> tuple[GraphData, jax.Array]:
     """One LM iteration with edge-sharded linearization + psum reduction.
 

@@ -82,3 +82,18 @@ def test_distributed_lm_reduces_chi2():
     d1, chi2_0 = distributed_lm_step(mesh, data, 1e-5)
     d2, chi2_1 = distributed_lm_step(mesh, d1, 1e-5)
     assert float(chi2_1) < float(chi2_0)
+
+
+def test_distributed_optimize_matches_single_chip():
+    from hdl_graph_slam_tpu.graph import optimize
+    from hdl_graph_slam_tpu.parallel import distributed_optimize
+
+    g, ids = build_chain_graph(seed=5)
+    data = g.freeze()
+    ref, ref_stats = optimize(data, max_iterations=30)
+
+    mesh = make_mesh(8)
+    out, stats = distributed_optimize(mesh, data, max_iterations=30)
+    # same optimum (allow float reassociation differences in the psum)
+    np.testing.assert_allclose(np.asarray(out.poses[: len(ids)]), np.asarray(ref.poses[: len(ids)]), atol=1e-6)
+    assert abs(float(stats.chi2_robust_after) - float(ref_stats.chi2_robust_after)) < 1e-6
