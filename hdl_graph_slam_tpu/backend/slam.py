@@ -323,7 +323,12 @@ class HdlGraphSlam:
 
         # optimize (graph_slam.cpp:292-321; skip if < 10 edges)
         if self.graph.num_edges >= 10:
-            data = self.graph.freeze()
+            import jax
+            import jax.numpy as jnp
+
+            # f64 where available (CPU x64 parity runs), f32 on TPU
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            data = self.graph.freeze(dtype=dtype)
             data, stats = graph_optimize(data, max_iterations=b.g2o_solver_num_iterations)
             self.graph.update_estimates(data)
             self.last_stats = stats

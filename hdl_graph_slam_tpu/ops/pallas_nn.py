@@ -37,18 +37,21 @@ def _nn_kernel(q_ref, t_ref, tn_ref, bd_ref, bi_ref):
     big = jnp.int32(2**30)
     local_arg = jnp.min(jnp.where(d <= local_min[:, None], cols, big), axis=1) + j * _TM
 
+    # outputs carry a dummy 8-row sublane dim (TPU min tile); broadcast-write
     @pl.when(j == 0)
     def _():
-        bd_ref[0, :] = local_min
-        bi_ref[0, :] = local_arg
+        bd_ref[:, :] = jnp.broadcast_to(local_min[None, :], bd_ref.shape)
+        bi_ref[:, :] = jnp.broadcast_to(local_arg[None, :], bi_ref.shape)
 
     @pl.when(j > 0)
     def _():
         prev_d = bd_ref[0, :]
         prev_i = bi_ref[0, :]
         take = local_min < prev_d
-        bd_ref[0, :] = jnp.where(take, local_min, prev_d)
-        bi_ref[0, :] = jnp.where(take, local_arg, prev_i)
+        new_d = jnp.where(take, local_min, prev_d)
+        new_i = jnp.where(take, local_arg, prev_i)
+        bd_ref[:, :] = jnp.broadcast_to(new_d[None, :], bd_ref.shape)
+        bi_ref[:, :] = jnp.broadcast_to(new_i[None, :], bi_ref.shape)
 
 
 @partial(jax.jit, static_argnames=())
@@ -86,16 +89,16 @@ def nn1_pallas(query: jax.Array, target: jax.Array) -> Tuple[jax.Array, jax.Arra
             pl.BlockSpec((1, _TM), lambda i, j: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _TQ), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, _TQ), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, _TQ), lambda i, j: (0, i)),
+            pl.BlockSpec((8, _TQ), lambda i, j: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_q_tiles, _TQ), jnp.float32),
-            jax.ShapeDtypeStruct((n_q_tiles, _TQ), jnp.int32),
+            jax.ShapeDtypeStruct((8, n_q_tiles * _TQ), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_q_tiles * _TQ), jnp.int32),
         ],
     )(q, t_T, tn)
 
-    idx = bi.reshape(-1)[:n]
+    idx = bi[0, :n]
     idx = jnp.clip(idx, 0, m - 1)
     diff = query - target[idx]
     dist2 = jnp.sum(diff * diff, axis=-1)

@@ -35,7 +35,16 @@ _INVALID_KEY = jnp.iinfo(jnp.int64).max
 
 def voxel_keys(xyz: jax.Array, mask: jax.Array, resolution) -> jax.Array:
     """Map points to int64 voxel keys; invalid points get the sentinel key
-    (sorts to the end). Matches PCL's floor(coord/leaf) cell assignment."""
+    (sorts to the end). Matches PCL's floor(coord/leaf) cell assignment.
+
+    Requires jax_enable_x64 (the packed key needs 63 bits); without it jax
+    silently downcasts int64 to int32 and keys would collide."""
+    import jax as _jax
+
+    if not _jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "voxel ops need int64 keys: enable x64 via jax.config.update('jax_enable_x64', True)"
+        )
     ijk = jnp.floor(xyz / resolution).astype(jnp.int64) + _AXIS_OFFSET
     ijk = jnp.clip(ijk, 0, (1 << _AXIS_BITS) - 1)
     key = (ijk[..., 0] << (2 * _AXIS_BITS)) | (ijk[..., 1] << _AXIS_BITS) | ijk[..., 2]

@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     ap.add_argument("--trace", help="write per-stage timing summary JSON")
     args = ap.parse_args(argv)
 
+    # voxel keys are 63-bit ints; sorting/lookup needs real int64 support
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
     from .core.config import PRESETS
     from .io import trajectory as traj_io
     from .pipeline import SlamPipeline, frames_from_kitti, frames_from_rosbag

@@ -241,3 +241,30 @@ class TestEig3:
         lams = np.linalg.eigvalsh(R)
         assert (lams[:, 0] >= 0.01 * lams[:, 2] - 1e-7).all()
         np.testing.assert_allclose(lams[:, 2], 4.0, rtol=1e-5)
+
+
+class TestPallasNN:
+    def test_matches_xla_in_interpret_mode(self):
+        """The fused kernel must agree with the XLA path (interpret mode on
+        CPU; compiled path validated on TPU)."""
+        from jax.experimental import pallas as pl  # noqa: F401
+        import hdl_graph_slam_tpu.ops.pallas_nn as pnn
+
+        rng = np.random.default_rng(30)
+        q = jnp.asarray(rng.uniform(-10, 10, (300, 3)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(-10, 10, (400, 3)).astype(np.float32))
+        i_ref, d_ref = knn.nn1(q, t)
+
+        # run the pallas_call in interpreter mode by monkeypatching
+        import jax
+        from functools import partial
+
+        orig = pl.pallas_call
+        try:
+            pl.pallas_call = partial(orig, interpret=True)
+            # rebuild the jitted wrapper to pick up the patched pallas_call
+            i2, d2 = pnn.nn1_pallas.__wrapped__(q, t)
+        finally:
+            pl.pallas_call = orig
+        assert float(jnp.mean((i_ref == i2).astype(jnp.float32))) > 0.999
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=1e-4, atol=1e-5)
