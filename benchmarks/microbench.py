@@ -6,6 +6,7 @@ these are the per-kernel speed-of-light diagnostics.
 """
 
 from __future__ import annotations
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
 import time
@@ -27,6 +28,8 @@ def timeit(fn, *args, reps=20):
 
 def main():
     import jax
+
+    jax.config.update("jax_enable_x64", True)  # voxel int64 keys
     import jax.numpy as jnp
 
     from hdl_graph_slam_tpu.core import cloud as cloudlib, se3

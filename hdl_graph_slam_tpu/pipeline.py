@@ -50,12 +50,14 @@ class SlamPipeline:
             from .frontend.imu_prediction import ImuPredictor
 
             self.imu_predictor = ImuPredictor()
+        self._last_ang_vel = None  # for prefilter deskewing
 
     def process_frame(self, stamp: float, xyz: np.ndarray, intensity: Optional[np.ndarray] = None) -> np.ndarray:
         with GLOBAL_TIMER.span("ingest"):
             cloud = cloudlib.from_numpy(xyz, intensity=intensity)
         with GLOBAL_TIMER.span("prefilter"):
-            filtered = self.prefilter(cloud)
+            ang_vel = self._last_ang_vel if self.cfg.prefilter.deskewing else None
+            filtered = self.prefilter(cloud, ang_vel=ang_vel)
         msf_delta = None
         if self.imu_predictor is not None:
             msf_delta = self.imu_predictor.predict_delta(stamp)
@@ -83,8 +85,10 @@ class SlamPipeline:
         self.slam.add_imu(
             ImuMeasurement(stamp=stamp, orientation=np.asarray(orientation_wxyz), acceleration=np.asarray(acceleration))
         )
-        if self.imu_predictor is not None and angular_velocity is not None:
-            self.imu_predictor.add_imu(stamp, angular_velocity, acceleration)
+        if angular_velocity is not None:
+            self._last_ang_vel = np.asarray(angular_velocity, dtype=np.float64)
+            if self.imu_predictor is not None:
+                self.imu_predictor.add_imu(stamp, angular_velocity, acceleration)
 
     def add_nmea(self, stamp: float, sentence: str) -> None:
         from .io import nmea

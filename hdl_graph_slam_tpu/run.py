@@ -73,7 +73,7 @@ def main(argv=None) -> int:
                 pipe.add_gps(stamp or m.stamp, lat, lon, alt)
             elif m.topic == args.imu_topic:
                 stamp, _f, q, w, a = rb.parse_imu(m.raw)
-                pipe.add_imu(stamp or m.stamp, q, a)
+                pipe.add_imu(stamp or m.stamp, q, a, angular_velocity=w)
     else:
         frames = frames_from_kitti(args.kitti)
 
