@@ -75,17 +75,17 @@ class Registration:
             guess = jnp.eye(4, dtype=source.xyz.dtype)
         guess = jnp.asarray(guess, dtype=source.xyz.dtype)
         if self.method == "GICP":
-            src = gicp.preprocess(source, k=c.reg_correspondence_randomness)
-            result = gicp.align(
-                self._target_state, src, guess,
+            result = _gicp_frame(
+                self._target_state, source, guess,
+                k=c.reg_correspondence_randomness,
                 max_corr_dist=c.reg_max_correspondence_distance,
                 transformation_epsilon=c.reg_transformation_epsilon,
                 max_iterations=c.reg_maximum_iterations,
             )
         elif self.method == "VGICP":
-            src = gicp.preprocess(source, k=c.reg_correspondence_randomness)
-            result = vgicp.align(
-                self._target_state, src, guess,
+            result = _vgicp_frame(
+                self._target_state, source, guess,
+                k=c.reg_correspondence_randomness,
                 transformation_epsilon=c.reg_transformation_epsilon,
                 max_iterations=c.reg_maximum_iterations,
             )
@@ -124,3 +124,31 @@ class Registration:
 
 def select_registration_method(cfg: RegistrationConfig, max_voxels: int = 8192) -> Registration:
     return Registration(cfg, max_voxels=max_voxels)
+
+
+# fused per-frame programs: source preprocessing + alignment compile into one
+# device program (no host round-trip between them — the per-frame hot path)
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("k", "max_iterations"))
+def _gicp_frame(tgt_state, source, guess, k, max_corr_dist, transformation_epsilon, max_iterations):
+    src = gicp.preprocess(source, k=k)
+    return gicp.align(
+        tgt_state, src, guess,
+        max_corr_dist=max_corr_dist,
+        transformation_epsilon=transformation_epsilon,
+        max_iterations=max_iterations,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "max_iterations"))
+def _vgicp_frame(tgt_state, source, guess, k, transformation_epsilon, max_iterations):
+    src = gicp.preprocess(source, k=k)
+    return vgicp.align(
+        tgt_state, src, guess,
+        transformation_epsilon=transformation_epsilon,
+        max_iterations=max_iterations,
+    )
