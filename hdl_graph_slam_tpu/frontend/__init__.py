@@ -1,4 +1,5 @@
 from . import prefilter, odometry, floor
 from .prefilter import Prefilter
 from .odometry import ScanMatchingOdometry
+from .odometry_device import DeviceOdometry
 from .floor import FloorDetector

@@ -28,6 +28,32 @@ class Prefilter:
     def __init__(self, cfg: Optional[PrefilterConfig] = None, out_capacity: int = 16384):
         self.cfg = cfg or PrefilterConfig()
         self.out_capacity = out_capacity
+        self._fused = None  # single compiled program for the whole chain
+
+    def _build_fused(self):
+        cfg = self.cfg
+        cap = self.out_capacity
+
+        def run(cloud: PointCloud, base_to_sensor, ang_vel) -> PointCloud:
+            if cfg.deskewing:
+                cloud = filters.deskew(cloud, ang_vel, cfg.scan_period)
+            cloud = cloudlib.transform(cloud, base_to_sensor)
+            if cfg.use_distance_filter:
+                cloud = filters.distance_filter(cloud, cfg.distance_near_thresh, cfg.distance_far_thresh)
+            if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
+                # ApproximateVoxelGrid differs from VoxelGrid only in hashing
+                # approximations PCL makes for speed; the exact centroid grid
+                # serves both (it is not slower here).
+                cloud = voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=cap)
+            else:
+                cloud = cloudlib.compact(cloud, capacity=cap)
+            if cfg.outlier_removal_method == "STATISTICAL":
+                cloud = filters.statistical_outlier_removal(cloud, cfg.statistical_mean_k, cfg.statistical_stddev)
+            elif cfg.outlier_removal_method == "RADIUS":
+                cloud = filters.radius_outlier_removal(cloud, cfg.radius_radius, cfg.radius_min_neighbors)
+            return cloud
+
+        return jax.jit(run)
 
     def __call__(
         self,
@@ -35,22 +61,13 @@ class Prefilter:
         base_to_sensor: Optional[jax.Array] = None,
         ang_vel: Optional[jax.Array] = None,
     ) -> PointCloud:
-        cfg = self.cfg
-        if cfg.deskewing and ang_vel is not None:
-            cloud = filters.deskew(cloud, jnp.asarray(ang_vel, cloud.xyz.dtype), cfg.scan_period)
-        if base_to_sensor is not None:
-            cloud = cloudlib.transform(cloud, jnp.asarray(base_to_sensor, cloud.xyz.dtype))
-        if cfg.use_distance_filter:
-            cloud = filters.distance_filter(cloud, cfg.distance_near_thresh, cfg.distance_far_thresh)
-        if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
-            # ApproximateVoxelGrid differs from VoxelGrid only in hashing
-            # approximations PCL makes for speed; the exact centroid grid
-            # serves both (it is not slower here).
-            cloud = voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=self.out_capacity)
-        else:
-            cloud = cloudlib.compact(cloud, capacity=self.out_capacity)
-        if cfg.outlier_removal_method == "STATISTICAL":
-            cloud = filters.statistical_outlier_removal(cloud, cfg.statistical_mean_k, cfg.statistical_stddev)
-        elif cfg.outlier_removal_method == "RADIUS":
-            cloud = filters.radius_outlier_removal(cloud, cfg.radius_radius, cfg.radius_min_neighbors)
-        return cloud
+        if self._fused is None:
+            self._fused = self._build_fused()
+        dtype = cloud.xyz.dtype
+        if base_to_sensor is None:
+            base_to_sensor = jnp.eye(4, dtype=dtype)
+        if ang_vel is None:
+            ang_vel = jnp.zeros(3, dtype)
+        return self._fused(
+            cloud, jnp.asarray(base_to_sensor, dtype), jnp.asarray(ang_vel, dtype)
+        )

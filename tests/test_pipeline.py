@@ -387,3 +387,24 @@ class TestImuPrediction:
         ang = np.arctan2(T[1, 0], T[0, 0])
         assert abs(ang - 0.1) < 0.015
         assert np.linalg.norm(T[:3, 3]) < 0.01  # gravity compensated
+
+
+class TestDeviceOdometry:
+    def test_matches_host_odometry(self, world):
+        from hdl_graph_slam_tpu.frontend import DeviceOdometry
+
+        cfg = OdometryConfig(
+            keyframe_delta_trans=2.0,
+            keyframe_delta_angle=0.8,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(registration_method="FAST_GICP"),
+        )
+        host = ScanMatchingOdometry(cfg)
+        dev = DeviceOdometry(cfg)
+        poses = drive_square(side=4.0, step=1.0, turn_steps=6)[:10]
+        for i, pose in enumerate(poses):
+            scan = scan_at(world, pose, seed=i)
+            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            h = host.step(float(i) * 0.1, cloud)
+            d = np.asarray(dev.step(float(i) * 0.1, cloud))
+            np.testing.assert_allclose(d, h, atol=5e-3)
