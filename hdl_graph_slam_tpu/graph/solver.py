@@ -45,13 +45,18 @@ class _State(NamedTuple):
     done: jax.Array
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
-def optimize(data: GraphData, max_iterations: int = 512) -> tuple[GraphData, OptimizeStats]:
-    """Run LM for up to max_iterations accept/reject steps."""
-    return _optimize_impl(data, max_iterations, axis_name=None)
+@partial(jax.jit, static_argnames=("max_iterations", "linear_solver"))
+def optimize(data: GraphData, max_iterations: int = 512, linear_solver: str = "dense") -> tuple[GraphData, OptimizeStats]:
+    """Run LM for up to max_iterations accept/reject steps.
+
+    linear_solver: "dense" (MXU Cholesky; optimal to a few thousand poses)
+    or "pcg" (matrix-free block-Jacobi CG; for very large graphs where the
+    dense D^2 Hessian no longer makes sense — see graph/pcg.py).
+    """
+    return _optimize_impl(data, max_iterations, axis_name=None, linear_solver=linear_solver)
 
 
-def _optimize_impl(data: GraphData, max_iterations: int, axis_name=None) -> tuple[GraphData, OptimizeStats]:
+def _optimize_impl(data: GraphData, max_iterations: int, axis_name=None, linear_solver: str = "dense") -> tuple[GraphData, OptimizeStats]:
     """LM core; with ``axis_name`` the edge tables are assumed sharded over
     that shard_map mesh axis and partial H/b/chi2 are psum-reduced (the
     solve and vertex updates run replicated on every device)."""
@@ -72,12 +77,20 @@ def _optimize_impl(data: GraphData, max_iterations: int, axis_name=None) -> tupl
         return (s.it < max_iterations) & jnp.logical_not(s.done)
 
     def body(s: _State):
-        H, b, _, chi2_rob = build_system(s.data, axis_name)
-        # restrict to free dofs: zero fixed rows/cols, unit diagonal
         free_f = free.astype(dtype)
-        Hf = H * free_f[:, None] * free_f[None, :] + jnp.diag(1.0 - free_f)
-        bf = b * free_f
-        dx = -jnp.linalg.solve(Hf + s.lam * jnp.diag(free_f), bf)
+        if linear_solver == "pcg":
+            from .pcg import linearize_blocks, solve_pcg
+
+            sys_ = linearize_blocks(s.data)
+            chi2_rob = sys_.chi2_robust
+            bf = sys_.b * free_f
+            dx = solve_pcg(sys_, s.lam, free)
+        else:
+            H, b, _, chi2_rob = build_system(s.data, axis_name)
+            # restrict to free dofs: zero fixed rows/cols, unit diagonal
+            Hf = H * free_f[:, None] * free_f[None, :] + jnp.diag(1.0 - free_f)
+            bf = b * free_f
+            dx = -jnp.linalg.solve(Hf + s.lam * jnp.diag(free_f), bf)
         data_new = apply_delta(s.data, dx)
         _, chi2_new = chi2_only(data_new, axis_name)
 

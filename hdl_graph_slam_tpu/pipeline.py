@@ -36,11 +36,17 @@ class PipelineResult:
 class SlamPipeline:
     """End-to-end offline SLAM over an iterator of sensor frames."""
 
-    def __init__(self, cfg: Optional[SlamConfig] = None, cloud_capacity: int = 16384):
+    def __init__(self, cfg: Optional[SlamConfig] = None, cloud_capacity: int = 16384,
+                 device_odometry: bool = False):
         self.cfg = cfg or SlamConfig()
         self.cloud_capacity = cloud_capacity
         self.prefilter = Prefilter(self.cfg.prefilter, out_capacity=cloud_capacity)
-        self.odometry = ScanMatchingOdometry(self.cfg.odometry)
+        if device_odometry:
+            from .frontend import DeviceOdometry
+
+            self.odometry = DeviceOdometry(self.cfg.odometry)
+        else:
+            self.odometry = ScanMatchingOdometry(self.cfg.odometry)
         self.floor = FloorDetector(self.cfg.floor) if self.cfg.floor.enabled else None
         self.slam = HdlGraphSlam(self.cfg)
         self._last_optimize_stream_time: Optional[float] = None
@@ -62,7 +68,7 @@ class SlamPipeline:
         if self.imu_predictor is not None:
             msf_delta = self.imu_predictor.predict_delta(stamp)
         with GLOBAL_TIMER.span("odometry"):
-            odom = self.odometry.step(stamp, filtered, msf_delta=msf_delta)
+            odom = np.asarray(self.odometry.step(stamp, filtered, msf_delta=msf_delta), dtype=np.float64)
         self.odometry_trajectory.append((stamp, odom))
         self.slam.add_frame(stamp, odom, filtered)
         if self.floor is not None:

@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     ap.add_argument("--out-graph-json", help="write graph visualization JSON")
     ap.add_argument("--ref-poses", help="KITTI ground-truth poses for ATE/RPE")
     ap.add_argument("--trace", help="write per-stage timing summary JSON")
+    ap.add_argument("--device-odometry", action="store_true", help="single-dispatch on-chip odometry (fastest on TPU)")
     args = ap.parse_args(argv)
 
     # voxel keys are 63-bit ints; sorting/lookup needs real int64 support
@@ -51,7 +52,7 @@ def main(argv=None) -> int:
     from .utils.metrics import GLOBAL_TIMER
 
     cfg = PRESETS[args.preset]()
-    pipe = SlamPipeline(cfg)
+    pipe = SlamPipeline(cfg, device_odometry=args.device_odometry)
     if args.load:
         pipe.slam.load(args.load)
 

@@ -210,3 +210,42 @@ class TestOptimize:
         # without robustification the optimum would sit near 5.5; huber keeps
         # it close to the inlier measurement
         assert abs(x - 1.0) < 0.5
+
+
+class TestPcgSolver:
+    def test_pcg_matches_dense(self):
+        """The matrix-free PCG path must reach the same optimum as the
+        dense Cholesky path on a noisy chain + loop graph."""
+        rng = np.random.default_rng(11)
+        n = 20
+        g = GraphBuilder()
+        ids = []
+        est = np.eye(4)
+        for k in range(n):
+            if k == 0:
+                ids.append(g.add_se3_node(np.eye(4), fixed=True))
+                continue
+            rel = np.eye(4)
+            rel[0, 3] = 1.0
+            noise = np.asarray(
+                se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)])))
+            )
+            rel_noisy = rel @ noise
+            est = est @ rel_noisy
+            ids.append(g.add_se3_node(est))
+            g.add_se3_edge(ids[k], ids[k - 1], np.linalg.inv(rel_noisy), np.eye(6) * 50.0)
+        g.add_se3_edge(ids[-1], ids[0], np.linalg.inv(np.diag([1.0] * 4) @ _trans(n - 1)), np.eye(6) * 100.0)
+
+        data = g.freeze()
+        dense, dense_stats = optimize(data, max_iterations=40, linear_solver="dense")
+        pcg, pcg_stats = optimize(data, max_iterations=40, linear_solver="pcg")
+        np.testing.assert_allclose(
+            np.asarray(pcg.poses[: len(ids)]), np.asarray(dense.poses[: len(ids)]), atol=1e-5
+        )
+        assert abs(float(pcg_stats.chi2_robust_after) - float(dense_stats.chi2_robust_after)) < 1e-6
+
+
+def _trans(x):
+    T = np.eye(4)
+    T[0, 3] = float(x)
+    return T
