@@ -249,3 +249,46 @@ def _trans(x):
     T = np.eye(4)
     T[0, 3] = float(x)
     return T
+
+
+class TestLargeGraphF32:
+    def test_f32_chain_converges(self):
+        """TPU runs the LM in f32; a KITTI-scale-ish chain with loops must
+        still converge to a consistent optimum in single precision."""
+        rng = np.random.default_rng(12)
+        n = 200
+        g = GraphBuilder()
+        ids = []
+        est = np.eye(4)
+        truth = np.eye(4)
+        truths = []
+        for k in range(n):
+            truths.append(truth.copy())
+            if k == 0:
+                ids.append(g.add_se3_node(np.eye(4), fixed=True))
+                truth = truth.copy()
+                truth[0, 3] += 1.0
+                continue
+            rel_true = np.eye(4)
+            rel_true[0, 3] = 1.0
+            noise = np.asarray(
+                se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.005, 3)])))
+            )
+            rel_noisy = rel_true @ noise
+            est = est @ rel_noisy
+            ids.append(g.add_se3_node(est))
+            g.add_se3_edge(ids[k], ids[k - 1], np.linalg.inv(rel_noisy), np.eye(6) * 50.0)
+            truth = truth.copy()
+            truth[0, 3] += 1.0
+        # strong absolute anchors every 25 poses (GPS-like) to fix drift
+        for k in range(25, n, 25):
+            g.add_se3_prior_xyz_edge(ids[k], truths[k][:3, 3], np.eye(3) * 10.0)
+
+        data = g.freeze(dtype=jnp.float32)
+        out, stats = optimize(data, max_iterations=60)
+        assert float(stats.chi2_robust_after) < float(stats.chi2_robust_before)
+        errs = [
+            np.linalg.norm(np.asarray(out.poses[ids[k]])[:3, 3] - truths[k][:3, 3])
+            for k in range(0, n, 10)
+        ]
+        assert max(errs) < 0.8, errs  # statistical limit of 0.02/step drift between anchors
