@@ -1,11 +1,12 @@
-"""Benchmark: scan-matching odometry throughput on one chip.
+"""Benchmark: end-to-end scan-matching odometry throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: full GICP frame alignments per second (source covariance
-preprocessing + 1-NN correspondences + LM iterations, the per-frame hot
-path of SURVEY.md §3.2) on realistic post-prefilter cloud sizes (8192
-points, the 0.1 m-voxel indoor regime).
+Measures the complete per-frame pipeline a deployment runs: 30k-point raw
+scan ingestion -> fused prefilter program (distance band + 0.2 m voxel
+grid) -> device-resident GICP odometry (covariance preprocessing, exact
+brute-force correspondences, LM, convergence gates and keyframe switching
+all on chip — one dispatch per frame, frontend/odometry_device.py).
 
 Baseline: the reference's real-time contract is sensor-rate 10 Hz odometry
 on CPU (launch/hdl_graph_slam.launch, README.md:6); BASELINE.md sets the
@@ -22,62 +23,68 @@ import numpy as np
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from hdl_graph_slam_tpu.core import cloud as cloudlib, se3
-    from hdl_graph_slam_tpu.registration import gicp
+    jax.config.update("jax_enable_x64", True)  # voxel int64 keys
 
-    n_points = 8192
+    from hdl_graph_slam_tpu.core import cloud as cloudlib
+    from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig
+    from hdl_graph_slam_tpu.frontend import DeviceOdometry, Prefilter
+
     rng = np.random.default_rng(0)
-    n_half = n_points // 2
+
+    # structured synthetic world (floor + wall) driven through at 3 m/s
+    n_world = 60000
     floor = np.stack(
-        [rng.uniform(-20, 20, n_half), rng.uniform(-20, 20, n_half), rng.normal(0, 0.02, n_half)], 1
+        [rng.uniform(-60, 60, n_world // 2), rng.uniform(-60, 60, n_world // 2), rng.normal(0, 0.02, n_world // 2)], 1
     )
     walls = np.stack(
-        [rng.uniform(-20, 20, n_half), rng.normal(15, 0.05, n_half), rng.uniform(0, 4, n_half)], 1
+        [rng.uniform(-60, 60, n_world // 2), rng.normal(25, 0.05, n_world // 2), rng.uniform(0, 5, n_world // 2)], 1
     )
-    half = n_half // 2
-    walls[half:] = walls[half:][:, [1, 0, 2]]
-    pts = np.concatenate([floor, walls]).astype(np.float32)
+    world = np.concatenate([floor, walls]).astype(np.float32)
 
-    xi = jnp.asarray([0.4, -0.2, 0.03, 0.01, 0.02, 0.1], jnp.float32)
-    T_true = se3.se3_exp(xi)
-    tgt_pts = np.asarray(pts @ np.asarray(T_true)[:3, :3].T + np.asarray(T_true)[:3, 3], np.float32)
+    def scan_at(x):
+        local = world - np.array([x, 0.0, 0.0], dtype=np.float32)
+        d = np.linalg.norm(local, axis=1)
+        keep = (d > 1.0) & (d < 50.0)
+        pts = local[keep]
+        idx = rng.choice(pts.shape[0], min(30000, pts.shape[0]), replace=False)
+        return pts[idx]
 
-    tgt_cloud = cloudlib.from_numpy(tgt_pts, capacity=n_points)
-    src_cloud = cloudlib.from_numpy(pts, capacity=n_points)
-    guess = jnp.eye(4, dtype=jnp.float32)
+    prefilter = Prefilter(
+        PrefilterConfig(downsample_resolution=0.2, outlier_removal_method="NONE"), out_capacity=16384
+    )
+    odo = DeviceOdometry(
+        OdometryConfig(keyframe_delta_trans=2.0, keyframe_delta_time=1e9, registration=RegistrationConfig())
+    )
 
-    tgt = gicp.preprocess(tgt_cloud)  # amortized per keyframe switch
+    n_frames = 40
+    scans = [scan_at(0.3 * i) for i in range(n_frames)]
 
-    def frame_step(src_xyz, src_mask, guess_T):
-        """Everything the odometry does per frame on device."""
-        src = gicp.preprocess(cloudlib.PointCloud(xyz=src_xyz, mask=src_mask))
-        res = gicp.align(tgt, src, guess_T, max_iterations=64)
-        return res.transformation, res.converged, res.iterations
+    # warmup / compile
+    out = None
+    for i in range(3):
+        c = cloudlib.from_numpy(scans[i], capacity=32768)
+        out = odo.step(i * 0.1, prefilter(c))
+    jax.block_until_ready(out)
 
-    step = jax.jit(frame_step)
-
-    # warmup/compile
-    T, conv, iters = step(src_cloud.xyz, src_cloud.mask, guess)
-    jax.block_until_ready(T)
-    err = np.linalg.inv(np.asarray(T)) @ np.asarray(T_true)
-    assert np.linalg.norm(err[:3, 3]) < 0.1, "benchmark alignment failed"
-
-    n_rep = 20
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        T, conv, iters = step(src_cloud.xyz, src_cloud.mask, guess)
-    jax.block_until_ready(T)
-    dt = (time.perf_counter() - t0) / n_rep
+    for i in range(3, n_frames):
+        c = cloudlib.from_numpy(scans[i], capacity=32768)
+        out = odo.step(i * 0.1, prefilter(c))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / (n_frames - 3)
+
+    # sanity: odometry must have tracked the drive
+    final = np.asarray(out)
+    assert abs(final[0, 3] - 0.3 * (n_frames - 1)) < 0.3, final
 
     fps = 1.0 / dt
     print(
         json.dumps(
             {
-                "metric": "scan_match_fps_per_chip",
+                "metric": "e2e_odometry_fps_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (8192-pt GICP align incl. preprocess)",
+                "unit": "frames/s (30k raw pts -> fused prefilter -> device-resident GICP odometry)",
                 "vs_baseline": round(fps / 10.0, 2),
             }
         )

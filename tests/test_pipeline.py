@@ -37,7 +37,7 @@ def make_world(seed=0, n=12000):
     return np.concatenate(pts).astype(np.float32)
 
 
-def scan_at(world, pose, sensor_height=1.8, max_range=25.0, n_keep=4000, seed=0):
+def scan_at(world, pose, sensor_height=1.8, max_range=25.0, n_keep=2500, seed=0):
     """Simulated scan: world points within range of the sensor, expressed in
     the sensor frame."""
     rng = np.random.default_rng(seed)
@@ -91,7 +91,7 @@ class TestOdometryPipeline:
         errs = []
         for i, pose in enumerate(poses):
             scan = scan_at(world, pose, seed=i)
-            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            cloud = cloudlib.from_numpy(scan, capacity=2560)
             est = odo.step(float(i) * 0.1, cloud)
             # odometry is relative to the first sensor pose
             err = np.linalg.inv(pose) @ est
@@ -103,7 +103,7 @@ class TestOdometryPipeline:
         odo = ScanMatchingOdometry(OdometryConfig(registration=RegistrationConfig()))
         for i in range(2):
             scan = scan_at(world, np.eye(4), seed=i)
-            odo.step(float(i) * 0.1, cloudlib.from_numpy(scan, capacity=4096))
+            odo.step(float(i) * 0.1, cloudlib.from_numpy(scan, capacity=2560))
         st = odo.last_status
         assert st is not None and st.has_converged
         assert st.inlier_fraction > 0.8
@@ -151,7 +151,7 @@ class TestFullSlam:
         poses = drive_square(side=6.0, step=1.5)
         for i, pose in enumerate(poses):
             scan = scan_at(world, pose, seed=i)
-            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            cloud = cloudlib.from_numpy(scan, capacity=2560)
             est = odo.step(float(i), cloud)
             slam.add_frame(float(i), est, cloud)
             if i % 4 == 3:
@@ -217,7 +217,7 @@ class TestFullSlam:
             T_drift = sensor_true.copy()
             T_drift[2, 3] += 0.05 * i
             scan = scan_at(world, ground, sensor_height=1.8, seed=100 + i)
-            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            cloud = cloudlib.from_numpy(scan, capacity=2560)
             slam.add_frame(float(i), T_drift, cloud)
             coeffs = det.detect(cloud)
             if coeffs is not None:
@@ -244,7 +244,7 @@ class TestPersistence:
             T = np.eye(4)
             T[0, 3] = float(i) * 1.5
             scan = scan_at(world, T, seed=i)
-            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=4096))
+            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=2560))
         slam.optimize_cycle()
 
         d = str(tmp_path / "dump")
@@ -303,7 +303,7 @@ class TestPersistence:
             T = np.eye(4)
             T[0, 3] = float(i) * 3.0
             scan = scan_at(world, T, seed=i)
-            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=4096))
+            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=2560))
         slam.optimize_cycle()
         p = str(tmp_path / "map.pcd")
         assert slam.save_map(p, resolution=0.5)
@@ -361,7 +361,7 @@ class TestAsyncBackend:
                 T = np.eye(4)
                 T[0, 3] = float(i)
                 scan = scan_at(world, T, seed=i)
-                slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=4096))
+                slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=2560))
                 _time.sleep(0.03)
         assert bk.cycles >= 1
         assert len(slam.keyframes) >= 6
@@ -404,7 +404,7 @@ class TestDeviceOdometry:
         poses = drive_square(side=4.0, step=1.0, turn_steps=6)[:10]
         for i, pose in enumerate(poses):
             scan = scan_at(world, pose, seed=i)
-            cloud = cloudlib.from_numpy(scan, capacity=4096)
+            cloud = cloudlib.from_numpy(scan, capacity=2560)
             h = host.step(float(i) * 0.1, cloud)
             d = np.asarray(dev.step(float(i) * 0.1, cloud))
             np.testing.assert_allclose(d, h, atol=5e-3)
