@@ -330,7 +330,7 @@ class TestOfflinePipeline:
         poses = drive_square(side=4.0, step=1.0)[:10]
         frames = []
         for i, pose in enumerate(poses):
-            frames.append((float(i), scan_at(world, pose, seed=i), None))
+            frames.append((float(i), scan_at(world, pose, seed=i, n_keep=4000), None))
         result = pipe.run(frames)
         assert result.num_frames == 10
         assert result.num_keyframes >= 4
