@@ -1,0 +1,141 @@
+"""Hierarchical submap partitioning for multi-host graph optimization.
+
+BASELINE.json config #5 calls for keyframes/map blocks partitioned per host
+on long sequences. The reference has no equivalent (single-process g2o);
+this module supplies the standard submap hierarchy, laid out so each level
+maps onto the hardware:
+
+1. **Partition**: keyframes split into contiguous blocks of ``block_size``.
+2. **Intra-block refinement** (embarrassingly parallel — one block per host
+   or per device): each block's subgraph (edges with both endpoints inside)
+   is optimized with its first pose fixed, yielding refined poses relative
+   to the block base. Work per block is independent — distribute freely.
+3. **Condensed inter-block graph** (tiny — one SE3 node per block): every
+   cross-block edge is re-expressed as a constraint between block bases
+   using the refined local poses; a global LM solves block placements.
+4. **Composition**: global pose = optimized base @ refined local pose.
+
+This is an approximation of the joint optimum (exact when intra-block
+estimates are locally rigid), converging to it as blocks are re-refined;
+`hierarchical_optimize` supports multiple rounds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.solver import optimize as graph_optimize
+from ..graph.types import GraphBuilder
+
+
+@dataclasses.dataclass
+class Block:
+    pose_ids: List[int]  # global pose indices, contiguous
+    base_id: int  # first pose (block anchor)
+
+
+def partition_poses(num_poses: int, block_size: int) -> List[Block]:
+    blocks = []
+    for start in range(0, num_poses, block_size):
+        ids = list(range(start, min(start + block_size, num_poses)))
+        blocks.append(Block(pose_ids=ids, base_id=ids[0]))
+    return blocks
+
+
+def _subgraph(builder: GraphBuilder, block: Block) -> Tuple[GraphBuilder, Dict[int, int]]:
+    """Intra-block subgraph over se3_se3 edges with both endpoints inside.
+
+    Returns (sub-builder, global->local id map). The block base is fixed.
+    Non-SE3 edges (planes, priors) stay at the global level for simplicity —
+    they mostly encode global constraints anyway (floor/GPS).
+    """
+    id_map = {g: i for i, g in enumerate(block.pose_ids)}
+    sub = GraphBuilder()
+    base_pose = builder.poses[block.base_id]
+    base_inv = np.linalg.inv(base_pose)
+    for g in block.pose_ids:
+        sub.add_se3_node(base_inv @ builder.poses[g], fixed=(g == block.base_id))
+    for row in builder.edge_rows["se3_se3"]:
+        vi, vj = row["vi"], row["vj"]
+        if vi in id_map and vj in id_map:
+            sub._add_edge(
+                "se3_se3", id_map[vi], id_map[vj], row["meas"], row["info"],
+            )
+            sub.edge_rows["se3_se3"][-1]["kernel_id"] = row["kernel_id"]
+            sub.edge_rows["se3_se3"][-1]["kernel_delta"] = row["kernel_delta"]
+    return sub, id_map
+
+
+def hierarchical_optimize(
+    builder: GraphBuilder,
+    block_size: int = 64,
+    intra_iterations: int = 50,
+    inter_iterations: int = 100,
+    rounds: int = 1,
+    dtype=None,
+) -> None:
+    """Optimize ``builder`` in place via the submap hierarchy.
+
+    Each intra-block solve is independent — in a multi-host deployment each
+    host runs the solves for its resident blocks (the block subgraphs are
+    exactly the per-host keyframe shards); only the condensed base graph
+    (one pose per block) needs global communication.
+    """
+    import jax.numpy as jnp
+
+    if dtype is None:
+        import jax
+
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    n = len(builder.poses)
+    if n == 0:
+        return
+    blocks = partition_poses(n, block_size)
+
+    for _ in range(rounds):
+        # --- intra-block refinement (parallel axis) ------------------------
+        local_poses: Dict[int, np.ndarray] = {}
+        block_of: Dict[int, int] = {}
+        for bi, block in enumerate(blocks):
+            sub, id_map = _subgraph(builder, block)
+            if sub.num_edges > 0:
+                data, _ = graph_optimize(sub.freeze(dtype=dtype), max_iterations=intra_iterations)
+                sub.update_estimates(data)
+            for g, l in id_map.items():
+                local_poses[g] = sub.poses[l]
+                block_of[g] = bi
+
+        # --- condensed inter-block graph ----------------------------------
+        cond = GraphBuilder()
+        for block in blocks:
+            cond.add_se3_node(builder.poses[block.base_id], fixed=False)
+        cond.set_pose_fixed(0, True)
+        n_inter = 0
+        for row in builder.edge_rows["se3_se3"]:
+            vi, vj = row["vi"], row["vj"]
+            if vi not in block_of or vj not in block_of:
+                continue
+            bi, bj = block_of[vi], block_of[vj]
+            if bi == bj:
+                continue
+            # edge residual zero when meas = Ti^-1 Tj with Ti = Bi Li:
+            # base-level measurement M' satisfying  M' = Li * meas * Lj^-1
+            Li = local_poses[vi]
+            Lj = local_poses[vj]
+            meas_base = Li @ row["meas"] @ np.linalg.inv(Lj)
+            cond.add_se3_edge(bi, bj, meas_base, row["info"])
+            n_inter += 1
+        if n_inter > 0 and len(blocks) > 1:
+            data, _ = graph_optimize(cond.freeze(dtype=dtype), max_iterations=inter_iterations)
+            cond.update_estimates(data)
+
+        # --- composition ---------------------------------------------------
+        for g in range(n):
+            bi = block_of.get(g)
+            if bi is None:
+                continue
+            builder.poses[g] = cond.poses[bi] @ local_poses[g]

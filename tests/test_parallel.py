@@ -97,3 +97,52 @@ def test_distributed_optimize_matches_single_chip():
     # same optimum (allow float reassociation differences in the psum)
     np.testing.assert_allclose(np.asarray(out.poses[: len(ids)]), np.asarray(ref.poses[: len(ids)]), atol=1e-6)
     assert abs(float(stats.chi2_robust_after) - float(ref_stats.chi2_robust_after)) < 1e-6
+
+
+def test_hierarchical_optimize_approximates_full():
+    """Submap hierarchy must land near the joint optimum on a noisy chain
+    with loop closures (multi-host partitioning axis, BASELINE config #5)."""
+    from hdl_graph_slam_tpu.graph import optimize
+    from hdl_graph_slam_tpu.parallel import hierarchical_optimize
+
+    rng = np.random.default_rng(3)
+    n = 48
+    g_full = GraphBuilder()
+    g_hier = GraphBuilder()
+    ids = []
+    est = np.eye(4)
+    for k in range(n):
+        if k == 0:
+            for g in (g_full, g_hier):
+                g.add_se3_node(np.eye(4), fixed=True)
+            ids.append(0)
+            continue
+        rel = np.eye(4)
+        rel[0, 3] = 1.0
+        noise = np.asarray(se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.03, 3), rng.normal(0, 0.01, 3)]))))
+        rel_noisy = rel @ noise
+        est = est @ rel_noisy
+        for g in (g_full, g_hier):
+            g.add_se3_node(est.copy())
+            g.add_se3_edge(k, k - 1, np.linalg.inv(rel_noisy), np.eye(6) * 50.0)
+        ids.append(k)
+    # loop closures every 12
+    for k in range(12, n, 12):
+        T_true_k = np.eye(4); T_true_k[0, 3] = float(k)
+        T_true_p = np.eye(4); T_true_p[0, 3] = float(k - 12)
+        meas = np.linalg.inv(T_true_k) @ T_true_p
+        for g in (g_full, g_hier):
+            g.add_se3_edge(k, k - 12, meas, np.eye(6) * 100.0)
+
+    init_errs = [abs(g_hier.poses[k][0, 3] - float(k)) for k in range(n)]
+    data, _ = optimize(g_full.freeze(), max_iterations=60)
+    g_full.update_estimates(data)
+    hierarchical_optimize(g_hier, block_size=12, rounds=2)
+
+    truth = [np.array([float(k), 0.0, 0.0]) for k in range(n)]
+    e_full = [np.linalg.norm(g_full.poses[k][:3, 3] - truth[k]) for k in range(n)]
+    e_hier = [np.linalg.norm(g_hier.poses[k][:3, 3] - truth[k]) for k in range(n)]
+    # the hierarchy is an approximation of the joint optimum: it must stay
+    # within ~2x of the full solve's truth error and clearly beat the init
+    assert np.mean(e_hier) < 2.5 * np.mean(e_full) + 0.05, (np.mean(e_hier), np.mean(e_full))
+    assert max(e_hier) < 2.0 * max(e_full) + 0.05, (max(e_hier), max(e_full))
