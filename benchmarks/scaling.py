@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def build_graph(n_poses=512, loops_every=16):
+def build_graph(n_poses=128, loops_every=16):
     import jax.numpy as jnp
 
     from hdl_graph_slam_tpu.graph import GraphBuilder
@@ -49,7 +49,7 @@ def main():
     data = build_graph()
     n_avail = len(jax.devices())
     results = {}
-    for n in [1, 2, 4, 8]:
+    for n in [1, 2, 4]:
         if n > n_avail:
             break
         mesh = make_mesh(n)
