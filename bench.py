@@ -25,6 +25,11 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)  # voxel int64 keys
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from hdl_graph_slam_tpu.core import cloud as cloudlib
     from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig

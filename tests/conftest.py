@@ -16,3 +16,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite re-traces many identical programs
+# (and the CLI test's subprocess recompiles everything) — cache across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
