@@ -100,5 +100,53 @@ def main():
         print(json.dumps(r))
 
 
+
+
+def bench_registration_variants():
+    """NDT / VGICP / ICP align timings at odometry sizes (run after main)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hdl_graph_slam_tpu.core import cloud as cloudlib, se3
+    from hdl_graph_slam_tpu.registration import gicp, icp, ndt, vgicp
+
+    rng = np.random.default_rng(1)
+    n = 8192
+    n_half = n // 2
+    floor = np.stack([rng.uniform(-20, 20, n_half), rng.uniform(-20, 20, n_half), rng.normal(0, 0.02, n_half)], 1)
+    walls = np.stack([rng.uniform(-20, 20, n_half), rng.normal(15, 0.05, n_half), rng.uniform(0, 4, n_half)], 1)
+    half = n_half // 2
+    walls[half:] = walls[half:][:, [1, 0, 2]]
+    pts = np.concatenate([floor, walls]).astype(np.float32)
+    xi = jnp.asarray([0.2, -0.1, 0.02, 0.01, 0.01, 0.05], jnp.float32)
+    T_true = se3.se3_exp(xi)
+    tgt_pts = np.asarray(pts @ np.asarray(T_true)[:3, :3].T + np.asarray(T_true)[:3, 3], np.float32)
+    src_c = cloudlib.from_numpy(pts, capacity=n)
+    tgt_c = cloudlib.from_numpy(tgt_pts, capacity=n)
+    guess = jnp.eye(4, dtype=jnp.float32)
+
+    results = []
+
+    tgt_g = gicp.preprocess(tgt_c)
+    src_g = gicp.preprocess(src_c)
+    dt = timeit(jax.jit(lambda t, s, g: gicp.align(t, s, g)), tgt_g, src_g, guess, reps=10)
+    results.append({"metric": "gicp_align_ms", "value": round(dt * 1e3, 2), "unit": "ms"})
+
+    tgt_v = vgicp.preprocess_target(tgt_c, 1.0, max_voxels=8192)
+    dt = timeit(jax.jit(lambda t, s, g: vgicp.align(t, s, g)), tgt_v, src_g, guess, reps=10)
+    results.append({"metric": "vgicp_align_ms", "value": round(dt * 1e3, 2), "unit": "ms"})
+
+    tgt_n = ndt.preprocess_target(tgt_c, 2.0, max_voxels=8192)
+    dt = timeit(jax.jit(lambda t, s, g: ndt.align(t, s, g)), tgt_n, src_c, guess, reps=10)
+    results.append({"metric": "ndt_align_ms", "value": round(dt * 1e3, 2), "unit": "ms"})
+
+    dt = timeit(jax.jit(lambda t, s, g: icp.align(t, s, g)), tgt_c, src_c, guess, reps=10)
+    results.append({"metric": "icp_align_ms", "value": round(dt * 1e3, 2), "unit": "ms"})
+
+    for r in results:
+        print(json.dumps(r))
+
+
 if __name__ == "__main__":
     main()
+    bench_registration_variants()

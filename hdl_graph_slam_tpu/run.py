@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    try:  # persistent compile cache (big win for repeat offline runs)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
 
     from .core.config import PRESETS
     from .io import trajectory as traj_io

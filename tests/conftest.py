@@ -20,3 +20,7 @@ jax.config.update("jax_enable_x64", True)
 # (and the CLI test's subprocess recompiles everything) — cache across runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:  # CPU executables are only cached when xla caches are enabled
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass

@@ -232,3 +232,39 @@ class TestNative:
         xyz, inten = native.pc2_extract(data, 3, 16, 0, 4, 8, 12)
         np.testing.assert_allclose(xyz, [[1, 2, 3], [4, 5, 6]])
         np.testing.assert_allclose(inten, [9, 8])
+
+
+class TestKitti:
+    def test_sequence_reader(self, tmp_path):
+        from hdl_graph_slam_tpu.io.kitti import KittiOdometrySequence
+
+        seq = tmp_path / "00"
+        (seq / "velodyne").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            scan = rng.standard_normal((100, 4)).astype(np.float32)
+            scan.tofile(str(seq / "velodyne" / f"{i:06d}.bin"))
+        np.savetxt(str(seq / "times.txt"), np.arange(3) * 0.1)
+
+        s = KittiOdometrySequence(str(seq))
+        frames = list(s)
+        assert len(frames) == 3
+        stamp, xyz, refl = frames[1]
+        assert abs(stamp - 0.1) < 1e-9
+        assert xyz.shape == (100, 3) and refl.shape == (100,)
+
+    def test_poses_roundtrip(self, tmp_path):
+        from hdl_graph_slam_tpu.io.kitti import read_poses
+        from hdl_graph_slam_tpu.io.trajectory import save_kitti
+
+        rng = np.random.default_rng(1)
+        traj = []
+        for i in range(5):
+            T = np.eye(4)
+            T[:3, 3] = rng.standard_normal(3)
+            traj.append((float(i), T))
+        p = str(tmp_path / "poses.txt")
+        save_kitti(p, traj)
+        back = read_poses(p)
+        assert back.shape == (5, 4, 4)
+        np.testing.assert_allclose(back[3], traj[3][1], atol=1e-7)
