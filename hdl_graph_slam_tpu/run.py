@@ -39,6 +39,7 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-poses", help="KITTI ground-truth poses for ATE/RPE")
     ap.add_argument("--trace", help="write per-stage timing summary JSON")
     ap.add_argument("--device-odometry", action="store_true", help="single-dispatch on-chip odometry (fastest on TPU)")
+    ap.add_argument("--cloud-capacity", type=int, default=16384, help="padded cloud capacity (power of two; match your sensor's post-filter density)")
     args = ap.parse_args(argv)
 
     # voxel keys are 63-bit ints; sorting/lookup needs real int64 support
@@ -58,7 +59,7 @@ def main(argv=None) -> int:
     from .utils.metrics import GLOBAL_TIMER
 
     cfg = PRESETS[args.preset]()
-    pipe = SlamPipeline(cfg, device_odometry=args.device_odometry)
+    pipe = SlamPipeline(cfg, cloud_capacity=args.cloud_capacity, device_odometry=args.device_odometry)
     if args.load:
         pipe.slam.load(args.load)
 

@@ -77,7 +77,7 @@ def test_cli_bag_run(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "hdl_graph_slam_tpu.run", "--bag", bag, "--preset", "base",
          "--out-traj", traj, "--out-map", mapf, "--dump", dump, "--out-graph-json", gjson,
-         "--map-resolution", "0.5"],
+         "--map-resolution", "0.5", "--cloud-capacity", "4096"],
         capture_output=True, text=True, timeout=600, env=env, cwd=os.getcwd(),
     )
     assert out.returncode == 0, out.stderr[-2000:]
