@@ -25,12 +25,33 @@ class FloorDetector:
     def __init__(self, cfg: Optional[FloorDetectionConfig] = None):
         self.cfg = cfg or FloorDetectionConfig()
         self._key = jax.random.PRNGKey(0)
+        self._prefilter_jit = None  # fused tilt/clip/normal-filter program
+
+    def _build_prefilter(self, tilt_matrix: np.ndarray):
+        cfg = self.cfg
+
+        def run(cloud: PointCloud) -> PointCloud:
+            dtype = cloud.xyz.dtype
+            c = cloudlib.transform(cloud, jnp.asarray(tilt_matrix, dtype))
+            # clip to a band around -sensor_height (the floor sits below
+            # the sensor): keep z in [-h - range, -h + range]
+            c = filters.plane_clip(
+                c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height + cfg.height_clip_range], dtype), negative=False
+            )
+            c = filters.plane_clip(
+                c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height - cfg.height_clip_range], dtype), negative=True
+            )
+            if cfg.use_normal_filtering:
+                c = self._normal_filter(c)
+            c = cloudlib.transform(c, jnp.asarray(np.linalg.inv(tilt_matrix), dtype))
+            return cloudlib.compact(c)
+
+        return jax.jit(run)
 
     def detect(self, cloud: PointCloud) -> Optional[np.ndarray]:
         """Returns floor coeffs (4,) with n.p + d = 0 and upward normal, or
         None if no acceptable floor (reference returns boost::none)."""
         cfg = self.cfg
-        dtype = cloud.xyz.dtype
 
         tilt = np.deg2rad(cfg.tilt_deg)
         R = np.array(
@@ -43,21 +64,13 @@ class FloorDetector:
         tilt_matrix = np.eye(4)
         tilt_matrix[:3, :3] = R
 
-        c = cloudlib.transform(cloud, jnp.asarray(tilt_matrix, dtype))
-        # clip to a band around -sensor_height (the floor sits below the
-        # sensor): keep z in [-h - range, -h + range]
-        c = filters.plane_clip(c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height + cfg.height_clip_range], dtype), negative=False)
-        c = filters.plane_clip(c, jnp.asarray([0.0, 0.0, 1.0, cfg.sensor_height - cfg.height_clip_range], dtype), negative=True)
-
-        if cfg.use_normal_filtering:
-            c = self._normal_filter(c)
-
-        c = cloudlib.transform(c, jnp.asarray(np.linalg.inv(tilt_matrix), dtype))
+        if self._prefilter_jit is None:
+            self._prefilter_jit = self._build_prefilter(tilt_matrix)
+        c = self._prefilter_jit(cloud)
 
         if int(c.count) < cfg.floor_pts_thresh:
             return None
 
-        c = cloudlib.compact(c)
         self._key, sub = jax.random.split(self._key)
         res = ransac.fit_plane(c, sub, distance_thresh=cfg.ransac_distance_thresh, num_hypotheses=cfg.ransac_hypotheses)
 
