@@ -408,3 +408,32 @@ class TestDeviceOdometry:
             h = host.step(float(i) * 0.1, cloud)
             d = np.asarray(dev.step(float(i) * 0.1, cloud))
             np.testing.assert_allclose(d, h, atol=5e-3)
+
+
+class TestOdometryMethods:
+    """Method coverage: every registration method drives the odometry."""
+
+    def _run(self, world, method, resolution=1.0, n=5, tol=0.08):
+        cfg = OdometryConfig(
+            keyframe_delta_trans=3.0,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(registration_method=method, reg_resolution=resolution),
+        )
+        odo = ScanMatchingOdometry(cfg)
+        errs = []
+        for i in range(n):
+            pose = np.eye(4)
+            pose[0, 3] = 0.4 * i
+            scan = scan_at(world, pose, seed=i)
+            est = odo.step(float(i) * 0.1, cloudlib.from_numpy(scan, capacity=2560))
+            errs.append(abs(est[0, 3] - pose[0, 3]))
+        assert max(errs) < tol, (method, errs)
+
+    def test_ndt_odometry(self, world):
+        self._run(world, "NDT_OMP", resolution=2.0, tol=0.2)
+
+    def test_vgicp_odometry(self, world):
+        self._run(world, "FAST_VGICP", resolution=1.0, tol=0.15)
+
+    def test_icp_odometry(self, world):
+        self._run(world, "ICP", tol=0.15)
