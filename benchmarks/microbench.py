@@ -148,5 +148,9 @@ def bench_registration_variants():
 
 
 if __name__ == "__main__":
-    main()
-    bench_registration_variants()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "variants":
+        bench_registration_variants()
+    else:
+        main()

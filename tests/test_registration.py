@@ -135,3 +135,31 @@ class TestConvergenceGates:
         res = reg.align(cloudlib.from_numpy(a))
         # no correspondences within 2.5 m: transform must stay finite
         assert np.isfinite(np.asarray(res.transformation)).all()
+
+
+class TestApproxExactParity:
+    def test_approx_covariances_match_exact_alignment(self):
+        """The approx_min_k covariance neighbors (TPU default) must produce
+        the same alignment as exact kNN within tight tolerance (documented
+        deviation, COVERAGE.md)."""
+        import jax.numpy as jnp
+
+        from hdl_graph_slam_tpu.registration import gicp
+
+        pts = synthetic_scene(1500)
+        T_true = np.asarray(true_transform(), dtype=np.float32)
+        tgt_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        src_c = cloudlib.from_numpy(pts)
+        tgt_c = cloudlib.from_numpy(tgt_pts)
+        guess = jnp.eye(4, dtype=jnp.float32)
+
+        Ts = {}
+        for exact in (True, False):
+            tgt = gicp.preprocess(tgt_c, exact=exact)
+            src = gicp.preprocess(src_c, exact=exact)
+            res = gicp.align(tgt, src, guess)
+            Ts[exact] = np.asarray(res.transformation)
+        delta = np.linalg.inv(Ts[True]) @ Ts[False]
+        assert np.linalg.norm(delta[:3, 3]) < 5e-3
+        tr = np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1)
+        assert np.arccos(tr) < 2e-3
