@@ -59,6 +59,10 @@ class SlamPipeline:
         self._last_ang_vel = None  # for prefilter deskewing
 
     def process_frame(self, stamp: float, xyz: np.ndarray, intensity: Optional[np.ndarray] = None) -> np.ndarray:
+        if xyz is None or np.size(xyz) == 0:
+            # reference skips empty clouds (prefiltering_nodelet.cpp:111-113)
+            last = self.odometry_trajectory[-1][1] if self.odometry_trajectory else np.eye(4)
+            return last
         with GLOBAL_TIMER.span("ingest"):
             cloud = cloudlib.from_numpy(xyz, intensity=intensity)
         with GLOBAL_TIMER.span("prefilter"):

@@ -268,3 +268,70 @@ class TestKitti:
         back = read_poses(p)
         assert back.shape == (5, 4, 4)
         np.testing.assert_allclose(back[3], traj[3][1], atol=1e-7)
+
+
+class TestRosbagBz2:
+    def test_bz2_chunk(self, tmp_path):
+        import bz2 as _bz2
+
+        from tests.test_io import _bag_record  # self-import for helper
+
+        # one connection + one tiny message inside a bz2-compressed chunk
+        conn_hdr = {b"op": b"\x07", b"conn": struct.pack("<I", 0), b"topic": b"/t"}
+        conn_payload = b"".join(
+            struct.pack("<I", len(k) + 1 + len(v)) + k + b"=" + v
+            for k, v in {b"type": b"std_msgs/Header", b"md5sum": b"x", b"message_definition": b""}.items()
+        )
+        msg_hdr = {b"op": b"\x02", b"conn": struct.pack("<I", 0), b"time": struct.pack("<II", 7, 0)}
+        payload = _bag_record(conn_hdr, conn_payload) + _bag_record(msg_hdr, b"payload")
+        comp = _bz2.compress(payload)
+        chunk_hdr = {b"op": b"\x05", b"compression": b"bz2", b"size": struct.pack("<I", len(payload))}
+        bag_hdr = {b"op": b"\x03", b"index_pos": struct.pack("<Q", 0),
+                   b"conn_count": struct.pack("<I", 1), b"chunk_count": struct.pack("<I", 1)}
+        p = str(tmp_path / "c.bag")
+        with open(p, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            f.write(_bag_record(bag_hdr, b" " * 128))
+            f.write(_bag_record(chunk_hdr, comp))
+        msgs = list(rb.BagReader(p).messages())
+        assert len(msgs) == 1
+        assert msgs[0].topic == "/t" and msgs[0].raw == b"payload"
+        assert abs(msgs[0].stamp - 7.0) < 1e-9
+
+
+class TestMsgParsers:
+    def test_parse_imu(self):
+        header = struct.pack("<III", 0, 5, 0) + struct.pack("<I", 3) + b"imu"
+        q = struct.pack("<4d", 0.1, 0.2, 0.3, 0.9)  # x y z w
+        qcov = struct.pack("<9d", *([0.0] * 9))
+        w = struct.pack("<3d", 0.01, 0.02, 0.03)
+        wcov = struct.pack("<9d", *([0.0] * 9))
+        a = struct.pack("<3d", 0.0, 0.0, 9.8)
+        raw = header + q + qcov + w + wcov + a + struct.pack("<9d", *([0.0] * 9))
+        stamp, fid, quat, gyro, acc = rb.parse_imu(raw)
+        assert fid == "imu" and abs(stamp - 5.0) < 1e-9
+        np.testing.assert_allclose(quat, [0.9, 0.1, 0.2, 0.3])
+        np.testing.assert_allclose(gyro, [0.01, 0.02, 0.03])
+        np.testing.assert_allclose(acc, [0, 0, 9.8])
+
+    def test_parse_navsatfix(self):
+        header = struct.pack("<III", 0, 9, 500000000) + struct.pack("<I", 3) + b"gps"
+        status = struct.pack("<bH", 0, 1)
+        lla = struct.pack("<3d", 35.0, 139.0, 40.0)
+        raw = header + status + lla + struct.pack("<9d", *([0.0] * 9)) + b"\x00"
+        stamp, lat, lon, alt = rb.parse_navsatfix(raw)
+        assert abs(stamp - 9.5) < 1e-9
+        assert (lat, lon, alt) == (35.0, 139.0, 40.0)
+
+    def test_parse_geopoint(self):
+        header = struct.pack("<III", 0, 2, 0) + struct.pack("<I", 1) + b"g"
+        raw = header + struct.pack("<3d", -33.8, 151.2, 5.0)
+        stamp, lat, lon, alt = rb.parse_geopoint(raw)
+        assert (lat, lon, alt) == (-33.8, 151.2, 5.0)
+
+    def test_parse_nmea(self):
+        header = struct.pack("<III", 0, 1, 0) + struct.pack("<I", 2) + b"nm"
+        s = b"$GPRMC,x*00"
+        raw = header + struct.pack("<I", len(s)) + s
+        stamp, sentence = rb.parse_nmea_sentence(raw)
+        assert sentence == "$GPRMC,x*00"
