@@ -104,11 +104,13 @@ def _device_step(
         prev_trans=jnp.where(switch, eye, jnp.where(accepted, trans, state.prev_trans)),
         keyframe_stamp=jnp.where(switch, stamp, state.keyframe_stamp),
     )
+    n_src = jnp.clip(jnp.sum(cloud.mask.astype(jnp.int32)), 1, None)
     status = dict(
         converged=res.converged,
         error=res.error,
         iterations=res.iterations,
         num_inliers=res.num_inliers,
+        inlier_fraction=res.num_inliers.astype(odom.dtype) / n_src.astype(odom.dtype),
         keyframe_switched=switch,
     )
     return new_state, odom, status
