@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import cloud as cloudlib
-from ..core.cloud import PointCloud
 from ..ops import voxel
 from .keyframe import KeyFrameSnapshot
 

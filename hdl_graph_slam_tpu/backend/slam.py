@@ -23,7 +23,7 @@ from ..core.config import SlamConfig
 from ..graph import GraphBuilder, optimize as graph_optimize
 from .information_matrix import InformationMatrixCalculator
 from .keyframe import KeyFrame, KeyFrameSnapshot, KeyframeUpdater
-from .loop_detector import Loop, LoopDetector
+from .loop_detector import LoopDetector
 from .map_cloud import MapCloudGenerator
 
 

@@ -16,7 +16,6 @@ CPU tests with jax_enable_x64).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12

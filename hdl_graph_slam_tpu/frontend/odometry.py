@@ -18,16 +18,14 @@ prev_trans, SURVEY.md §7); all numerics run in jitted device programs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import se3
 from ..core.cloud import PointCloud
 from ..core.config import OdometryConfig
-from ..ops import knn, voxel
+from ..ops import voxel
 from ..registration.factory import Registration
 
 

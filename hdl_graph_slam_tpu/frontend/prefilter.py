@@ -9,12 +9,10 @@ fuses the masked pipeline into a handful of kernels.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core import cloud as cloudlib
 from ..core.cloud import PointCloud

@@ -13,7 +13,7 @@ The host-side GraphBuilder mirrors the GraphSLAM add_*_node / add_*_edge API
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ degrees in the csv export — auto-detected by magnitude).
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

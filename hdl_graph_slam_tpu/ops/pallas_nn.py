@@ -20,7 +20,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _TQ = 256  # query rows per program
 _TM = 2048  # target cols per program

@@ -20,7 +20,7 @@ any scatter-contended hash insertion.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ CPU test mesh.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

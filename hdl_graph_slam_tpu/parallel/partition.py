@@ -23,7 +23,7 @@ estimates are locally rigid), converging to it as blocks are re-refined;
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ of candidates — replacing the reference's sequential candidate loop.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

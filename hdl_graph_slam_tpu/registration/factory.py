@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.cloud import PointCloud
 from ..core.config import RegistrationConfig

@@ -11,7 +11,6 @@ MeshLab / Open3D).
 from __future__ import annotations
 
 import json
-from typing import List, Optional
 
 import numpy as np
 

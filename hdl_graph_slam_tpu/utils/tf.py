@@ -9,7 +9,6 @@ ROS tf this is a thread-safe holder + optional callback pump.
 from __future__ import annotations
 
 import threading
-import time
 from typing import Callable, List, Optional
 
 import numpy as np
