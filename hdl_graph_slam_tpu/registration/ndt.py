@@ -119,6 +119,15 @@ def align(
         ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
         return _score(tgt, moved, src_mask, means, icovs, found), ninl
 
+    def quad_exp(delta):
+        # exp(xi^) to second order: exact value/grad/hessian AT delta=0,
+        # which is the only place it is differentiated — avoids dragging
+        # se3_exp's trig/branch graph through jax.hessian (compile cost)
+        W = jnp.zeros((4, 4), dtype)
+        W = W.at[:3, :3].set(se3.hat(delta[3:]))
+        W = W.at[:3, 3].set(delta[:3])
+        return jnp.eye(4, dtype=dtype) + W + 0.5 * (W @ W)
+
     def cond(s: _NewtonState):
         return (s.it < max_iterations) & jnp.logical_not(s.converged)
 
@@ -131,7 +140,7 @@ def align(
         icovs = tgt.icovs[idx]
 
         def loss(delta):
-            T = se3.se3_exp(delta) @ s.T
+            T = quad_exp(delta) @ s.T
             moved = se3.transform_points(T, src_xyz)
             return _score(tgt, moved, src_mask, means, icovs, found)
 
@@ -174,7 +183,9 @@ def align(
         # transform norm < transformation_epsilon). A failed line search with
         # candidates spanning base..base/2^K counts as a vanishing step.
         conv = alpha < transformation_epsilon
-        _, ninl = full_score(T_new)
+        # inlier count from the current association (avoids a second full
+        # gather+score subgraph per iteration — compile and runtime cost)
+        ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
         return _NewtonState(T=T_new, it=s.it + 1, converged=conv, score=new_score, num_inliers=ninl)
 
     s0, n0 = full_score(guess)
