@@ -437,3 +437,25 @@ class TestOdometryMethods:
 
     def test_icp_odometry(self, world):
         self._run(world, "ICP", tol=0.15)
+
+
+class TestDeviceOdometrySwitching:
+    def test_keyframe_switch_flag(self, world):
+        from hdl_graph_slam_tpu.frontend import DeviceOdometry
+
+        cfg = OdometryConfig(keyframe_delta_trans=1.5, keyframe_delta_time=1e9,
+                             registration=RegistrationConfig())
+        odo = DeviceOdometry(cfg)
+        switches = []
+        for i in range(5):
+            pose = np.eye(4)
+            pose[0, 3] = 0.8 * i
+            scan = scan_at(world, pose, seed=i)
+            odo.step(float(i), cloudlib.from_numpy(scan, capacity=2560))
+            if odo.last_status is not None:
+                switches.append(bool(odo.last_status["keyframe_switched"]))
+        # moving 0.8 m/frame with a 1.5 m gate: a switch must occur by frame 2+
+        assert any(switches), switches
+        # and the pose keeps tracking after the switch
+        final = np.asarray(odo.step(5.0, cloudlib.from_numpy(scan_at(world, np.diag([1.0]*4) , seed=9), capacity=2560)))
+        assert np.isfinite(final).all()

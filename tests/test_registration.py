@@ -163,3 +163,29 @@ class TestApproxExactParity:
         assert np.linalg.norm(delta[:3, 3]) < 5e-3
         tr = np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1)
         assert np.arccos(tr) < 2e-3
+
+
+class TestNdtQuadExp:
+    def test_quadratic_exp_derivatives_match_exact(self):
+        """NDT differentiates a quadratic expansion of exp at delta=0 for
+        compile efficiency; its value/gradient/Hessian there must equal the
+        exact exponential's."""
+        import jax
+
+        def exact(delta):
+            return se3.se3_exp(delta)
+
+        def quad(delta):
+            W = jnp.zeros((4, 4))
+            W = W.at[:3, :3].set(se3.hat(delta[3:]))
+            W = W.at[:3, 3].set(delta[:3])
+            return jnp.eye(4) + W + 0.5 * (W @ W)
+
+        zero = jnp.zeros(6)
+        np.testing.assert_allclose(np.asarray(exact(zero)), np.asarray(quad(zero)), atol=1e-12)
+        Je = jax.jacfwd(exact)(zero)
+        Jq = jax.jacfwd(quad)(zero)
+        np.testing.assert_allclose(np.asarray(Je), np.asarray(Jq), atol=1e-9)
+        He = jax.jacfwd(jax.jacfwd(exact))(zero)
+        Hq = jax.jacfwd(jax.jacfwd(quad))(zero)
+        np.testing.assert_allclose(np.asarray(He), np.asarray(Hq), atol=1e-9)
