@@ -122,20 +122,25 @@ def so3_log(R):
         theta / (2.0 * jnp.where(jnp.abs(sin_theta) < _EPS, 1.0, sin_theta)),
     )
     w_generic = scale[..., None] * v
-    # near pi: use diagonal extraction
+    # near pi: magnitudes from the diagonal extraction
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis_sq = jnp.clip((diag - cos_theta[..., None]) / (1.0 - cos_theta[..., None] + _EPS), 0.0, None)
     axis = jnp.sqrt(axis_sq)
-    # fix signs from off-diagonal sums
-    sign_src = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    axis = axis * jnp.where(sign_src < 0, -1.0, 1.0)
+    # Relative signs from the off-diagonal *sums* R[i,j]+R[j,i] =
+    # 2 a_i a_j (1-cos), which stay O(1) at theta == pi (the vee differences
+    # vanish there and would scramble mixed-sign axes). Anchor on the
+    # largest-magnitude axis component; its absolute sign comes from the
+    # vee part v = 2 sin(theta) a (continuity just below pi; at exactly pi
+    # +a and -a are equivalent so sign(0)->+ is fine).
+    eye3 = jnp.eye(3, dtype=R.dtype)
+    P = (R + jnp.swapaxes(R, -1, -2)) * (1.0 - eye3) + eye3  # P[i,j] ~ a_i a_j, P[i,i] > 0
+    k = jnp.argmax(axis, axis=-1)
+    k_onehot = (jnp.arange(3) == k[..., None]).astype(R.dtype)
+    anchor_col = jnp.einsum("...ij,...j->...i", P, k_onehot)
+    rel_sign = jnp.where(anchor_col < 0, -1.0, 1.0)  # sign(a_i) relative to sign(a_k)=+1
+    v_anchor = jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+    overall = jnp.where(v_anchor < 0, -1.0, 1.0)
+    axis = axis * rel_sign * overall[..., None]
     w_pi = axis * theta[..., None]
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 

@@ -115,15 +115,6 @@ def _edge_terms(etype: str, table: EdgeTable, data: GraphData):
     return r, J1, J2, chi2, rho0, wm
 
 
-def _scatter_block(H, b, J_a, J_b, r, info, w, rows_a, rows_b):
-    """Add w * J_a^T info J_b into H[rows_a, rows_b] and (if rows match)
-    w * J_a^T info r into b."""
-    wi = info * w[:, None, None]
-    Hblk = jnp.einsum("eia,eij,ejb->eab", J_a, wi, J_b)
-    H = H.at[rows_a[:, :, None], rows_b[:, None, :]].add(Hblk)
-    return H, b
-
-
 def build_system(data: GraphData, axis_name=None) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Assemble dense H, b over all edge tables.
 

@@ -63,14 +63,14 @@ def linearize_blocks(data: GraphData) -> LinearizedSystem:
         d1 = _DOF[kinds[0]]
         rows1 = off[kinds[0]] + d1 * table.vi[:, None] + jnp.arange(d1)[None, :]
         b = b.at[rows1].add(jnp.einsum("eia,eij,ej->ea", J1, wi, r))
-        diag = diag.at[rows1].add(jnp.einsum("eia,eij,eia->ea", J1, wi, J1))
+        diag = diag.at[rows1].add(jnp.einsum("eia,eij,eja->ea", J1, wi, J1))
 
         rows2 = None
         if J2 is not None:
             d2 = _DOF[kinds[1]]
             rows2 = off[kinds[1]] + d2 * table.vj[:, None] + jnp.arange(d2)[None, :]
             b = b.at[rows2].add(jnp.einsum("eia,eij,ej->ea", J2, wi, r))
-            diag = diag.at[rows2].add(jnp.einsum("eia,eij,eia->ea", J2, wi, J2))
+            diag = diag.at[rows2].add(jnp.einsum("eia,eij,eja->ea", J2, wi, J2))
 
         blocks[etype] = EdgeBlocks(J1=J1, J2=J2, wOmega=wi, rows1=rows1, rows2=rows2)
 

@@ -98,8 +98,11 @@ def deskew(cloud: PointCloud, ang_vel, scan_period) -> PointCloud:
     small-angle quaternion (1, wx t/2, wy t/2, wz t/2); we reproduce that.
     """
     n = cloud.xyz.shape[0]
-    # the reference indexes points in delivery order; padded tail is inert
-    t = scan_period * jnp.arange(n, dtype=cloud.xyz.dtype) / n
+    # the reference indexes points in delivery order and divides by
+    # cloud->size() (the valid count), not the padded capacity; padded tail
+    # is inert either way
+    count = jnp.clip(jnp.sum(cloud.mask), 1, None).astype(cloud.xyz.dtype)
+    t = scan_period * jnp.arange(n, dtype=cloud.xyz.dtype) / count
     half = 0.5 * t[:, None] * ang_vel[None, :]  # quaternion vector part
     w = jnp.ones_like(t)
     q = jnp.concatenate([w[:, None], half], axis=-1)

@@ -78,11 +78,18 @@ def knn(query: jax.Array, target: jax.Array, k: int, chunk: int = 256) -> Tuple[
     """
     n = query.shape[0]
     q = _pad_rows(query, chunk, 0.0)
-    t_norm2 = jnp.sum(target * target, axis=-1)
+    # same bbox-centering as nn1/knn_approx: candidate *selection* must not
+    # lose a true neighbor to f32 cancellation at map-frame coordinates
+    t_valid = jnp.all(jnp.abs(target) < 1.0e5, axis=-1, keepdims=True)
+    lo = jnp.min(jnp.where(t_valid, target, 1.0e5), axis=0)
+    hi = jnp.max(jnp.where(t_valid, target, -1.0e5), axis=0)
+    center = jnp.where(hi >= lo, 0.5 * (lo + hi), 0.0)
+    tc = target - center
+    t_norm2 = jnp.sum(tc * tc, axis=-1)
 
     def one_chunk(qc):
-        q_norm2 = jnp.sum(qc * qc, axis=-1)
-        d = q_norm2[:, None] - 2.0 * (qc @ target.T) + t_norm2[None, :]
+        qcc = qc - center
+        d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
         neg_d, cand = jax.lax.top_k(-d, k)  # (chunk, k)
         diff = qc[:, None, :] - target[cand]
         d_exact = jnp.sum(diff * diff, axis=-1)

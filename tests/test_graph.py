@@ -244,6 +244,37 @@ class TestPcgSolver:
         )
         assert abs(float(pcg_stats.chi2_robust_after) - float(dense_stats.chi2_robust_after)) < 1e-6
 
+    def test_pcg_correlated_information(self):
+        """Non-diagonal information matrices (as in graphs loaded from real
+        .g2o files) must not break the Jacobi preconditioner: the true H
+        diagonal is sum_ij J_ia Omega_ij J_ja (ADVICE r1 fix in graph/pcg.py)."""
+        rng = np.random.default_rng(13)
+        n = 12
+        g = GraphBuilder()
+        ids = [g.add_se3_node(np.eye(4), fixed=True)]
+        est = np.eye(4)
+        for k in range(1, n):
+            rel = np.eye(4)
+            rel[0, 3] = 1.0
+            noise = np.asarray(
+                se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.03, 3), rng.normal(0, 0.02, 3)])))
+            )
+            rel_noisy = rel @ noise
+            est = est @ rel_noisy
+            ids.append(g.add_se3_node(est))
+            A = rng.normal(0, 1, (6, 6))
+            info = A @ A.T + 10.0 * np.eye(6)  # dense SPD, strong off-diagonals
+            g.add_se3_edge(ids[k], ids[k - 1], np.linalg.inv(rel_noisy), info)
+        g.add_se3_edge(ids[-1], ids[0], np.linalg.inv(_trans(n - 1)), np.eye(6) * 100.0)
+
+        data = g.freeze()
+        dense, dense_stats = optimize(data, max_iterations=30, linear_solver="dense")
+        pcg, pcg_stats = optimize(data, max_iterations=30, linear_solver="pcg")
+        np.testing.assert_allclose(
+            np.asarray(pcg.poses[: len(ids)]), np.asarray(dense.poses[: len(ids)]), atol=1e-5
+        )
+        assert abs(float(pcg_stats.chi2_robust_after) - float(dense_stats.chi2_robust_after)) < 1e-6
+
 
 def _trans(x):
     T = np.eye(4)

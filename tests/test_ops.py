@@ -26,6 +26,20 @@ class TestKNN:
         np.testing.assert_allclose(got_d2, expect_d2, rtol=1e-5)
         assert (got_idx == expect_idx).mean() > 0.999
 
+    def test_knn_exact_far_from_origin(self):
+        """knn()'s exact contract at map-frame coordinates: candidate
+        selection is bbox-centered so f32 cancellation at ~1e2 m offsets
+        cannot drop a true neighbor (ADVICE r1)."""
+        rng = np.random.default_rng(33)
+        base = rng.uniform(0, 2.0, size=(256, 3))
+        off = np.array([150.0, -220.0, 40.0])
+        q32 = (base[:128] + off).astype(np.float32)
+        t32 = (base + off).astype(np.float32)
+        idx, d2 = knn.knn(jnp.asarray(q32), jnp.asarray(t32), 4)
+        d_full = ((q32.astype(np.float64)[:, None, :] - t32.astype(np.float64)[None, :, :]) ** 2).sum(-1)
+        expect = np.sort(d_full, axis=1)[:, :4]
+        np.testing.assert_allclose(np.sort(np.asarray(d2), axis=1), expect, rtol=1e-4, atol=1e-6)
+
     def test_knn_exact(self):
         c1, q = make_cloud(128, seed=3)
         c2, t = make_cloud(256, seed=4)
@@ -164,6 +178,21 @@ class TestFilters:
         c, pts = make_cloud(50, seed=14)
         out = filters.deskew(c, jnp.zeros(3), 0.1)
         np.testing.assert_allclose(out.to_numpy(), pts, atol=1e-7)
+
+    def test_deskew_padding_invariant(self):
+        """The per-point time ramp divides by the valid count (reference
+        divides by cloud->size()), so growing the padded capacity must not
+        change the deskewed coordinates of the valid points."""
+        rng = np.random.default_rng(21)
+        pts = rng.uniform(-10, 10, size=(100, 3))
+        ang = jnp.asarray([0.3, -0.2, 0.5])
+        small = cloudlib.from_numpy(pts, capacity=128)
+        big = cloudlib.from_numpy(pts, capacity=512)
+        out_s = filters.deskew(small, ang, 0.1).to_numpy()
+        out_b = filters.deskew(big, ang, 0.1).to_numpy()
+        np.testing.assert_allclose(out_s, out_b, atol=1e-9)
+        # and it must actually rotate something
+        assert np.abs(out_s - pts).max() > 1e-3
 
 
 class TestNormals:

@@ -21,6 +21,28 @@ def test_so3_exp_log_roundtrip():
         np.testing.assert_allclose(np.asarray(w2), w, atol=1e-6)
 
 
+def test_so3_log_near_pi_mixed_sign_axis():
+    """At/near theta=pi the vee differences vanish; mixed-sign axes (e.g.
+    (1,-1,0)/sqrt2) must still round-trip (signs recovered from off-diagonal
+    sums, core/se3.py so3_log near-pi branch)."""
+    axes = [
+        np.array([1.0, -1.0, 0.0]),
+        np.array([-1.0, 1.0, 1.0]),
+        np.array([0.0, 1.0, -1.0]),
+        np.array([1.0, -0.3, 0.8]),
+        np.array([0.0, 0.0, -1.0]),
+    ]
+    for a in axes:
+        a = a / np.linalg.norm(a)
+        for theta in [np.pi, np.pi - 1e-7, np.pi - 1e-5, np.pi - 5e-5]:
+            R = se3.so3_exp(jnp.asarray(a * theta))
+            w = np.asarray(se3.so3_log(R))
+            R2 = np.asarray(se3.so3_exp(jnp.asarray(w)))
+            # the log itself is only defined up to sign at exactly pi;
+            # the rotation it encodes must match
+            np.testing.assert_allclose(R2, np.asarray(R), atol=1e-6)
+
+
 def test_so3_exp_is_rotation():
     rng = np.random.default_rng(1)
     w = jnp.asarray(rng.standard_normal((32, 3)))
