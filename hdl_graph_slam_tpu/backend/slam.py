@@ -80,6 +80,7 @@ class HdlGraphSlam:
         self.floor_plane_node_id: Optional[int] = None
         self.snapshots: List[KeyFrameSnapshot] = []
         self.last_stats = None
+        self._mesh = None  # lazily built device mesh (backend.distributed)
 
     # -- ingestion -----------------------------------------------------------
 
@@ -291,6 +292,26 @@ class HdlGraphSlam:
         with self.main_lock:
             return self._optimize_cycle_locked()
 
+    def flush(self) -> bool:
+        """End-of-stream flush: drain every queue and optimize until nothing
+        is pending, then settle once more so loop closures found over the
+        last admitted batch are optimized too.
+
+        The reference has no such API — its max_keyframes_per_update is a
+        per-cycle admission cap (hdl_graph_slam_nodelet.cpp:197), and offline
+        runs simply keep the 3 s timer firing after the bag ends. This is the
+        deterministic equivalent for the offline pipeline, and unlike a
+        config override it leaves cfg untouched."""
+        updated = False
+        while True:
+            updated = self.optimize_cycle() or updated
+            with self.queue_lock:
+                pending = bool(self.keyframe_queue)
+            if not pending:
+                break
+        updated = self.optimize_cycle() or updated
+        return updated
+
     def _optimize_cycle_locked(self) -> bool:
         b = self.cfg.backend
         keyframe_updated = self._flush_keyframe_queue()
@@ -328,10 +349,38 @@ class HdlGraphSlam:
 
             # f64 where available (CPU x64 parity runs), f32 on TPU
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-            data = self.graph.freeze(dtype=dtype)
-            data, stats = graph_optimize(data, max_iterations=b.g2o_solver_num_iterations)
-            self.graph.update_estimates(data)
-            self.last_stats = stats
+            if b.submap_block_size > 0 and len(self.graph.poses) > b.submap_block_size:
+                # per-host keyframe blocks refined independently, condensed
+                # base graph solved globally (parallel/partition.py)
+                from ..parallel.partition import hierarchical_optimize
+
+                hierarchical_optimize(
+                    self.graph,
+                    block_size=b.submap_block_size,
+                    intra_iterations=b.g2o_solver_num_iterations,
+                    inter_iterations=b.g2o_solver_num_iterations,
+                )
+            else:
+                data = self.graph.freeze(dtype=dtype)
+                if b.distributed:
+                    if jax.process_count() > 1:
+                        from ..parallel.multihost import distributed_optimize_multihost
+
+                        data, stats = distributed_optimize_multihost(
+                            data, max_iterations=b.g2o_solver_num_iterations
+                        )
+                    else:
+                        from ..parallel import distributed_optimize, make_mesh
+
+                        if self._mesh is None:
+                            self._mesh = make_mesh()
+                        data, stats = distributed_optimize(
+                            self._mesh, data, max_iterations=b.g2o_solver_num_iterations
+                        )
+                else:
+                    data, stats = graph_optimize(data, max_iterations=b.g2o_solver_num_iterations)
+                self.graph.update_estimates(data)
+                self.last_stats = stats
 
         if self.keyframes:
             last = self.keyframes[-1]

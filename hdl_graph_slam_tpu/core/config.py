@@ -139,6 +139,15 @@ class BackendConfig:
     imu_orientation_edge_stddev: float = 0.1
     imu_acceleration_edge_stddev: float = 3.0
     floor_edge_stddev: float = 10.0
+    # --- TPU-native distribution / map scaling (no reference analog;
+    # SURVEY.md §2.5 mapping, §5 "map scaling" slot) ---
+    # optimize with edge-sharded LM over the jax device mesh (all local
+    # devices; spans processes when jax.distributed is initialized)
+    distributed: bool = False
+    # >0: when the graph exceeds this many pose nodes, optimize via the
+    # hierarchical submap partition (parallel/partition.py) — per-host
+    # keyframe blocks refined independently + condensed base graph
+    submap_block_size: int = 0
 
 
 @dataclass

@@ -30,13 +30,25 @@ from ..registration.factory import Registration
 
 
 class OdometryStatus(NamedTuple):
-    """ScanMatchingStatus equivalent (msg/ScanMatchingStatus.msg)."""
+    """ScanMatchingStatus equivalent (msg/ScanMatchingStatus.msg).
+
+    prediction_labels/prediction_errors mirror the reference's per-guess-
+    source fields (scan_matching_odometry_nodelet.cpp:325-333): one entry
+    per active init-guess source ("imu" from the MSF/EKF hook, "odometry"
+    from a robot-odometry tf), error = T_final^-1 * predicted_delta.
+    """
 
     has_converged: bool
     matching_error: float
     inlier_fraction: float
     relative_pose: np.ndarray
-    prediction_error: Optional[np.ndarray]
+    prediction_labels: tuple
+    prediction_errors: tuple
+
+    @property
+    def prediction_error(self) -> Optional[np.ndarray]:
+        """First prediction error (back-compat convenience)."""
+        return self.prediction_errors[0] if self.prediction_errors else None
 
 
 class ScanMatchingOdometry:
@@ -56,8 +68,18 @@ class ScanMatchingOdometry:
             return voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=cloud.capacity)
         return cloud
 
-    def step(self, stamp: float, cloud: PointCloud, msf_delta: Optional[np.ndarray] = None) -> np.ndarray:
-        """Process one frame; returns the odometry pose (4x4 numpy)."""
+    def step(
+        self,
+        stamp: float,
+        cloud: PointCloud,
+        msf_delta: Optional[np.ndarray] = None,
+        msf_source: str = "imu",
+    ) -> np.ndarray:
+        """Process one frame; returns the odometry pose (4x4 numpy).
+
+        ``msf_source`` labels the init-guess provider for the status message
+        ("imu" for the MSF/EKF hook, "odometry" for a robot-odometry delta —
+        scan_matching_odometry_nodelet.cpp:185,203)."""
         cfg = self.cfg
         if self.keyframe is None:
             self.prev_time = 0.0
@@ -74,7 +96,7 @@ class ScanMatchingOdometry:
 
         converged = bool(result.converged)
         trans = np.asarray(result.transformation, dtype=np.float64)
-        self._publish_status(result, msf_delta)
+        self._publish_status(result, msf_delta, msf_source)
 
         if not converged:
             # scan matching has not converged -> ignore frame
@@ -109,19 +131,22 @@ class ScanMatchingOdometry:
 
         return odom
 
-    def _publish_status(self, result, msf_delta):
+    def _publish_status(self, result, msf_delta, msf_source):
         """ScanMatchingStatus fields (scan_matching_odometry_nodelet.cpp:
-        298-335): fitness, inlier fraction at 0.5 m, prediction error."""
+        298-335): fitness, inlier fraction at 0.5 m, labeled prediction
+        errors T^-1 * msf_delta per active guess source (:325-333)."""
         T = np.asarray(result.transformation, dtype=np.float64)
-        pred_err = None
+        labels, errors = (), ()
         if msf_delta is not None:
-            pred_err = np.linalg.inv(T) @ msf_delta
+            labels = (msf_source,)
+            errors = (np.linalg.inv(T) @ np.asarray(msf_delta, dtype=np.float64),)
         self.last_status = OdometryStatus(
             has_converged=bool(result.converged),
             matching_error=float(result.error),
             inlier_fraction=float(result.num_inliers) / max(1, int(self.keyframe.count)),
             relative_pose=T,
-            prediction_error=pred_err,
+            prediction_labels=labels,
+            prediction_errors=errors,
         )
 
 

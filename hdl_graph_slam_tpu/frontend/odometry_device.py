@@ -43,8 +43,7 @@ class OdomState:
     keyframe_stamp: jax.Array  # ()
 
 
-@partial(jax.jit, static_argnames=("k", "max_iterations"))
-def _device_step(
+def device_step_impl(
     state: OdomState,
     cloud: PointCloud,
     stamp,
@@ -111,8 +110,16 @@ def _device_step(
         num_inliers=res.num_inliers,
         inlier_fraction=res.num_inliers.astype(odom.dtype) / n_src.astype(odom.dtype),
         keyframe_switched=switch,
+        relative_pose=res.transformation,
+        # ScanMatchingStatus.prediction_errors[0] semantics
+        # (scan_matching_odometry_nodelet.cpp:330-332): T_final^-1 * msf_delta,
+        # computed on device so reading it never forces an extra sync.
+        prediction_error=se3.inverse(res.transformation) @ msf_delta,
     )
     return new_state, odom, status
+
+
+_device_step = partial(jax.jit, static_argnames=("k", "max_iterations"))(device_step_impl)
 
 
 class DeviceOdometry:
@@ -123,8 +130,11 @@ class DeviceOdometry:
         self.state: Optional[OdomState] = None
         self.last_status = None
 
-    def step(self, stamp: float, cloud: PointCloud, msf_delta=None) -> jax.Array:
-        """Returns the odometry pose as a device array (no forced sync)."""
+    def step(self, stamp: float, cloud: PointCloud, msf_delta=None, msf_source: str = "imu") -> jax.Array:
+        """Returns the odometry pose as a device array (no forced sync).
+
+        ``msf_source`` labels the guess provider in last_status
+        (prediction_labels, scan_matching_odometry_nodelet.cpp:326-327)."""
         c = self.cfg
         dtype = cloud.xyz.dtype
         if self.state is None:
@@ -136,6 +146,7 @@ class DeviceOdometry:
                 keyframe_stamp=jnp.asarray(stamp, dtype),
             )
             return jnp.eye(4, dtype=dtype)
+        have_guess = msf_delta is not None
         if msf_delta is None:
             msf_delta = jnp.eye(4, dtype=dtype)
         self.state, odom, status = _device_step(
@@ -154,5 +165,6 @@ class DeviceOdometry:
             max_acceptable_trans=c.max_acceptable_trans,
             max_acceptable_angle=c.max_acceptable_angle,
         )
+        status["prediction_labels"] = (msf_source,) if have_guess else ()
         self.last_status = status
         return odom

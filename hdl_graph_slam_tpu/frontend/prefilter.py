@@ -20,6 +20,32 @@ from ..core.config import PrefilterConfig
 from ..ops import filters, voxel
 
 
+def make_prefilter_fn(cfg: PrefilterConfig, out_capacity: int):
+    """Pure (traceable) prefilter chain for ``cfg``: can be jitted standalone
+    (Prefilter below) or inlined into a larger program (frontend/window.py)."""
+
+    def run(cloud: PointCloud, base_to_sensor, ang_vel) -> PointCloud:
+        if cfg.deskewing:
+            cloud = filters.deskew(cloud, ang_vel, cfg.scan_period)
+        cloud = cloudlib.transform(cloud, base_to_sensor)
+        if cfg.use_distance_filter:
+            cloud = filters.distance_filter(cloud, cfg.distance_near_thresh, cfg.distance_far_thresh)
+        if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
+            # ApproximateVoxelGrid differs from VoxelGrid only in hashing
+            # approximations PCL makes for speed; the exact centroid grid
+            # serves both (it is not slower here).
+            cloud = voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=out_capacity)
+        else:
+            cloud = cloudlib.compact(cloud, capacity=out_capacity)
+        if cfg.outlier_removal_method == "STATISTICAL":
+            cloud = filters.statistical_outlier_removal(cloud, cfg.statistical_mean_k, cfg.statistical_stddev)
+        elif cfg.outlier_removal_method == "RADIUS":
+            cloud = filters.radius_outlier_removal(cloud, cfg.radius_radius, cfg.radius_min_neighbors)
+        return cloud
+
+    return run
+
+
 class Prefilter:
     """Host-side wrapper holding the config; `__call__` runs on device."""
 
@@ -29,29 +55,7 @@ class Prefilter:
         self._fused = None  # single compiled program for the whole chain
 
     def _build_fused(self):
-        cfg = self.cfg
-        cap = self.out_capacity
-
-        def run(cloud: PointCloud, base_to_sensor, ang_vel) -> PointCloud:
-            if cfg.deskewing:
-                cloud = filters.deskew(cloud, ang_vel, cfg.scan_period)
-            cloud = cloudlib.transform(cloud, base_to_sensor)
-            if cfg.use_distance_filter:
-                cloud = filters.distance_filter(cloud, cfg.distance_near_thresh, cfg.distance_far_thresh)
-            if cfg.downsample_method in ("VOXELGRID", "APPROX_VOXELGRID"):
-                # ApproximateVoxelGrid differs from VoxelGrid only in hashing
-                # approximations PCL makes for speed; the exact centroid grid
-                # serves both (it is not slower here).
-                cloud = voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=cap)
-            else:
-                cloud = cloudlib.compact(cloud, capacity=cap)
-            if cfg.outlier_removal_method == "STATISTICAL":
-                cloud = filters.statistical_outlier_removal(cloud, cfg.statistical_mean_k, cfg.statistical_stddev)
-            elif cfg.outlier_removal_method == "RADIUS":
-                cloud = filters.radius_outlier_removal(cloud, cfg.radius_radius, cfg.radius_min_neighbors)
-            return cloud
-
-        return jax.jit(run)
+        return jax.jit(make_prefilter_fn(self.cfg, self.out_capacity))
 
     def __call__(
         self,

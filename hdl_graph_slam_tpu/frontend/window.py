@@ -1,0 +1,125 @@
+"""Windowed device-resident odometry: K frames per dispatch.
+
+The per-frame DeviceOdometry path (odometry_device.py) is one dispatch per
+frame; through a remote-dispatch tunnel (axon) or any host-latency-bound
+deployment, per-frame dispatch latency — not device compute — sets the
+frame rate. For offline replay (the reference's bag_player.py throughput
+mode, src/hdl_graph_slam/bag_player.py:147-163) and for any pipelined
+deployment where scans are staged ahead, this module runs the FULL frame
+step (fused prefilter + GICP odometry + gates + keyframe switching,
+scan_matching_odometry_nodelet.cpp:165-262) for a window of K frames inside
+ONE jitted program via lax.scan: a single H2D stage of the raw scans, a
+single dispatch, K poses back.
+
+Frame-to-frame sequencing (prev_trans as the next init guess, on-chip
+keyframe switching) is preserved exactly — lax.scan is sequential; the win
+is purely amortizing dispatch/transfer latency over the window, so the
+measured frames/s is device throughput, not tunnel latency.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cloud import PAD_COORD, PointCloud
+from ..core.config import OdometryConfig, PrefilterConfig
+from ..registration import gicp
+from .odometry_device import OdomState, device_step_impl
+from .prefilter import make_prefilter_fn
+
+
+def stack_scans(scans, capacity: int, dtype=np.float32):
+    """Pad a list of (n_i, 3) raw scans into (K, capacity, 3) xyz + (K, capacity)
+    mask numpy arrays, ready for a single H2D transfer."""
+    k = len(scans)
+    xyz = np.full((k, capacity, 3), PAD_COORD, dtype=dtype)
+    mask = np.zeros((k, capacity), dtype=bool)
+    for i, s in enumerate(scans):
+        s = np.asarray(s, dtype=dtype).reshape(-1, 3)
+        n = min(s.shape[0], capacity)
+        xyz[i, :n] = s[:n]
+        mask[i, :n] = True
+    return xyz, mask
+
+
+class OdometryWindow:
+    """Host wrapper around the scanned K-frame odometry program."""
+
+    def __init__(
+        self,
+        cfg: Optional[OdometryConfig] = None,
+        prefilter_cfg: Optional[PrefilterConfig] = None,
+        out_capacity: int = 8192,
+    ):
+        self.cfg = cfg or OdometryConfig()
+        self.prefilter_cfg = prefilter_cfg
+        self._pf = (
+            make_prefilter_fn(prefilter_cfg, out_capacity) if prefilter_cfg is not None else None
+        )
+        self._run = None
+
+    def _prefilter(self, cloud: PointCloud) -> PointCloud:
+        if self._pf is None:
+            return cloud
+        dtype = cloud.xyz.dtype
+        return self._pf(cloud, jnp.eye(4, dtype=dtype), jnp.zeros(3, dtype))
+
+    def init_state(self, stamp: float, raw_cloud: PointCloud) -> OdomState:
+        """Bootstrap from the first frame (sets it as the keyframe target,
+        scan_matching_odometry_nodelet.cpp:166-174)."""
+        c = self.cfg
+        cloud = jax.jit(self._prefilter)(raw_cloud) if self._pf is not None else raw_cloud
+        tgt = gicp.preprocess(cloud, k=c.registration.reg_correspondence_randomness)
+        dtype = raw_cloud.xyz.dtype
+        return OdomState(
+            tgt=tgt,
+            keyframe_pose=jnp.eye(4, dtype=dtype),
+            prev_trans=jnp.eye(4, dtype=dtype),
+            keyframe_stamp=jnp.asarray(stamp, dtype),
+        )
+
+    def _build(self):
+        c = self.cfg
+        r = c.registration
+
+        def frame(state, inp):
+            xyz, mask, stamp = inp
+            cloud = self._prefilter(PointCloud(xyz=xyz, mask=mask))
+            state, odom, status = device_step_impl(
+                state,
+                cloud,
+                stamp,
+                jnp.eye(4, dtype=xyz.dtype),
+                k=r.reg_correspondence_randomness,
+                max_corr_dist=r.reg_max_correspondence_distance,
+                transformation_epsilon=r.reg_transformation_epsilon,
+                max_iterations=r.reg_maximum_iterations,
+                keyframe_delta_trans=c.keyframe_delta_trans,
+                keyframe_delta_angle=c.keyframe_delta_angle,
+                keyframe_delta_time=c.keyframe_delta_time,
+                transform_thresholding=c.transform_thresholding,
+                max_acceptable_trans=c.max_acceptable_trans,
+                max_acceptable_angle=c.max_acceptable_angle,
+            )
+            return state, (odom, status)
+
+        def run(state, xyz, mask, stamps):
+            state, (odoms, status) = jax.lax.scan(frame, state, (xyz, mask, stamps))
+            return state, odoms, status
+
+        return jax.jit(run)
+
+    def run(self, state: OdomState, xyz, mask, stamps):
+        """Process a window. xyz (K, N, 3), mask (K, N), stamps (K,) — device
+        or numpy arrays. Returns (new_state, odoms (K, 4, 4), status dict of
+        (K, ...) arrays). One dispatch for the whole window."""
+        if self._run is None:
+            self._run = self._build()
+        dtype = state.keyframe_pose.dtype
+        return self._run(
+            state, jnp.asarray(xyz, dtype), jnp.asarray(mask, bool), jnp.asarray(stamps, dtype)
+        )

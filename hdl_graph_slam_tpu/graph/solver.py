@@ -49,10 +49,22 @@ class _State(NamedTuple):
 def optimize(data: GraphData, max_iterations: int = 512, linear_solver: str = "dense") -> tuple[GraphData, OptimizeStats]:
     """Run LM for up to max_iterations accept/reject steps.
 
-    linear_solver: "dense" (MXU Cholesky; optimal to a few thousand poses)
-    or "pcg" (matrix-free block-Jacobi CG; for very large graphs where the
-    dense D^2 Hessian no longer makes sense — see graph/pcg.py).
+    linear_solver:
+    - "dense": MXU Cholesky over all dofs (optimal to a few thousand poses);
+    - "schur": eliminate plane/point landmark blocks first (graph/schur.py —
+      g2o's landmark marginalization; requires no landmark-landmark edges,
+      which HdlGraphSlam never creates);
+    - "pcg": matrix-free block-Jacobi CG for very large graphs where the
+      dense D^2 Hessian no longer makes sense (graph/pcg.py).
     """
+    if linear_solver == "schur":
+        from .schur import has_landmark_coupling
+
+        if has_landmark_coupling(data):
+            raise ValueError(
+                "linear_solver='schur' requires a block-diagonal landmark block; "
+                "this graph has plane-plane edges — use 'dense'"
+            )
     return _optimize_impl(data, max_iterations, axis_name=None, linear_solver=linear_solver)
 
 
@@ -85,6 +97,13 @@ def _optimize_impl(data: GraphData, max_iterations: int, axis_name=None, linear_
             chi2_rob = sys_.chi2_robust
             bf = sys_.b * free_f
             dx = solve_pcg(sys_, s.lam, free)
+        elif linear_solver == "schur":
+            from .schur import solve_schur
+
+            H, b, _, chi2_rob = build_system(s.data, axis_name)
+            Hf = H * free_f[:, None] * free_f[None, :] + jnp.diag(1.0 - free_f)
+            bf = b * free_f
+            dx = solve_schur(Hf + s.lam * jnp.diag(free_f), bf, 6 * s.data.poses.shape[0])
         else:
             H, b, _, chi2_rob = build_system(s.data, axis_name)
             # restrict to free dofs: zero fixed rows/cols, unit diagonal

@@ -25,8 +25,8 @@ def read_scan_mat(path: str) -> Tuple[float, np.ndarray]:
 
     mat = sio.loadmat(path, squeeze_me=True, struct_as_record=False)
     scan = mat["SCAN"]
-    xyz = np.asarray(scan.XYZ, dtype=np.float32)
-    if xyz.shape[0] == 3:
+    xyz = np.atleast_2d(np.asarray(scan.XYZ, dtype=np.float32))
+    if xyz.shape[0] == 3 and xyz.shape[1] != 3:
         xyz = xyz.T
     stamp = float(np.asarray(scan.timestamp_laser).reshape(-1)[0]) * 1e-6
     return stamp, xyz

@@ -101,13 +101,14 @@ def knn(query: jax.Array, target: jax.Array, k: int, chunk: int = 256) -> Tuple[
     return idx.reshape(-1, k)[:n], dist2.reshape(-1, k)[:n]
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "recall_target"))
+@partial(jax.jit, static_argnames=("k", "chunk", "recall_target", "exact_dists"))
 def knn_approx(
     query: jax.Array,
     target: jax.Array,
     k: int,
     chunk: int = 512,
     recall_target: float = 0.95,
+    exact_dists: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """k-NN via the TPU-accelerated partial reduction jax.lax.approx_min_k.
 
@@ -116,7 +117,13 @@ def knn_approx(
     covariances are plane-regularized afterwards, so a occasionally swapped
     20th neighbor is invisible). Exact k-NN (knn) remains the default for
     anything that gates behavior (fitness scores, correspondences).
-    Returns idx (N,k), exact squared distances (N,k) ascending.
+
+    exact_dists=True: returns idx (N,k), exact squared distances ascending.
+    exact_dists=False: returns the neighbor set with *approximate* squared
+    distances in approx_min_k's bin order (not exactly sorted). The exact
+    rescore (gather + argsort) costs ~2.7x the selection itself on TPU —
+    skip it when the consumer only needs the neighbor SET (covariance
+    estimation: mean/outer-product are permutation-invariant).
     """
     n = query.shape[0]
     q = _pad_rows(query, chunk, 0.0)
@@ -130,7 +137,10 @@ def knn_approx(
     def one_chunk(qc):
         qcc = qc - center
         d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
-        _, cand = jax.lax.approx_min_k(d, k, recall_target=recall_target)
+        dk, cand = jax.lax.approx_min_k(d, k, recall_target=recall_target)
+        if not exact_dists:
+            # recover approximate squared distance: d lacks the |q|^2 term
+            return cand, dk + jnp.sum(qcc * qcc, axis=-1, keepdims=True)
         diff = qc[:, None, :] - target[cand]
         d_exact = jnp.sum(diff * diff, axis=-1)
         order = jnp.argsort(d_exact, axis=-1)

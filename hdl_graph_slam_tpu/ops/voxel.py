@@ -32,6 +32,42 @@ _AXIS_BITS = 21
 _AXIS_OFFSET = 1 << 20
 _INVALID_KEY = jnp.iinfo(jnp.int64).max
 
+# --- Local (target-anchored) int32 voxel addressing -------------------------
+#
+# The NDT/VGICP align loops correspond transformed source points against the
+# *target's* Gaussian cells every Newton/LM iteration (and every NDT
+# line-search trial). Global 63-bit keys need x64 and emulated int64
+# sort/searchsorted on TPU (no native int64 lanes). The Gaussian voxel table
+# therefore re-keys its cells relative to the target's minimum occupied cell
+# corner with 10 bits per axis: a local grid of 1024^3 cells (e.g. +-512 m at
+# the reference's reg_resolution=1.0, +-102 m at 0.2). Queries outside the
+# local grid are by definition "not found" — exactly the align-loop
+# semantics — so the scheme is exact, not approximate.
+_LOCAL_BITS = 10
+_LOCAL_RANGE = 1 << _LOCAL_BITS
+_LOCAL_INVALID = jnp.iinfo(jnp.int32).max
+
+
+def local_cells(xyz: jax.Array, resolution) -> jax.Array:
+    """Integer cell coordinates floor(x/res) as int32 (PCL cell assignment)."""
+    return jnp.floor(xyz / resolution).astype(jnp.int32)
+
+
+def local_origin(xyz: jax.Array, mask: jax.Array, resolution) -> jax.Array:
+    """Minimum occupied cell corner of a cloud — the local-grid anchor."""
+    ijk = local_cells(xyz, resolution)
+    big = jnp.iinfo(jnp.int32).max // 2
+    return jnp.min(jnp.where(mask[:, None], ijk, big), axis=0)
+
+
+def pack_local_keys(ijk: jax.Array, origin: jax.Array, valid: jax.Array) -> jax.Array:
+    """Pack cell coords relative to ``origin`` into int32 keys; cells outside
+    the 1024^3 local grid (or with valid=False) get the sentinel key."""
+    rel = ijk - origin
+    in_range = jnp.all((rel >= 0) & (rel < _LOCAL_RANGE), axis=-1)
+    key = (rel[..., 0] << (2 * _LOCAL_BITS)) | (rel[..., 1] << _LOCAL_BITS) | rel[..., 2]
+    return jnp.where(valid & in_range, key, _LOCAL_INVALID)
+
 
 def voxel_keys(xyz: jax.Array, mask: jax.Array, resolution) -> jax.Array:
     """Map points to int64 voxel keys; invalid points get the sentinel key
@@ -89,18 +125,23 @@ def voxel_downsample(cloud: PointCloud, resolution, max_voxels: int) -> PointClo
     seg_ids, _ = _segment_ids_from_sorted_keys(keys_s)
     valid_s = keys_s != _INVALID_KEY
 
-    sums = jax.ops.segment_sum(xyz_s, seg_ids, num_segments=max_voxels)
-    counts = jax.ops.segment_sum(valid_s.astype(xyz_s.dtype), seg_ids, num_segments=max_voxels)
+    # one fused sorted scatter for every per-voxel sum (xyz, count, intensity)
+    payload = [xyz_s, valid_s.astype(xyz_s.dtype)[:, None]]
+    if inten_s is not None:
+        payload.append(inten_s[:, None])
+    acc = jax.ops.segment_sum(
+        jnp.concatenate(payload, axis=1), seg_ids, num_segments=max_voxels, indices_are_sorted=True
+    )
+    sums, counts = acc[:, :3], acc[:, 3]
     # representative key per segment (all equal within a segment)
-    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels)
+    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels, indices_are_sorted=True)
 
     out_mask = (counts > 0) & (seg_keys != _INVALID_KEY)
     centroids = sums / jnp.clip(counts[:, None], 1.0, None)
     centroids = jnp.where(out_mask[:, None], centroids, PAD_COORD)
     out_inten = None
     if inten_s is not None:
-        isum = jax.ops.segment_sum(inten_s, seg_ids, num_segments=max_voxels)
-        out_inten = jnp.where(out_mask, isum / jnp.clip(counts, 1.0, None), 0.0)
+        out_inten = jnp.where(out_mask, acc[:, 4] / jnp.clip(counts, 1.0, None), 0.0)
     return PointCloud(xyz=centroids, mask=out_mask, intensity=out_inten)
 
 
@@ -111,8 +152,10 @@ def occupied_voxel_centers(cloud: PointCloud, resolution, max_voxels: int) -> Po
     keys = voxel_keys(cloud.xyz, cloud.mask, resolution)
     keys_s = jnp.sort(keys)
     seg_ids, _ = _segment_ids_from_sorted_keys(keys_s)
-    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels)
-    counts = jax.ops.segment_sum((keys_s != _INVALID_KEY).astype(jnp.int32), seg_ids, num_segments=max_voxels)
+    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels, indices_are_sorted=True)
+    counts = jax.ops.segment_sum(
+        (keys_s != _INVALID_KEY).astype(jnp.int32), seg_ids, num_segments=max_voxels, indices_are_sorted=True
+    )
     out_mask = (counts > 0) & (seg_keys != _INVALID_KEY)
     centers = key_to_center(jnp.where(out_mask, seg_keys, 0), resolution).astype(cloud.xyz.dtype)
     centers = jnp.where(out_mask[:, None], centers, PAD_COORD)
@@ -129,16 +172,19 @@ class GaussianVoxels:
     struct-of-arrays table — the TPU replacement for ndt_omp's VoxelGridCovariance
     and fast_gicp's GaussianVoxelMap.
 
+    Keys are target-anchored int32 local keys (see pack_local_keys): native
+    int32 sort/searchsorted on TPU, no x64 requirement in the align loops.
     Lookup is a vectorized binary search over the sorted key array: O(log V)
     gathers, no host hash map, no capacity collisions.
     """
 
-    keys: jax.Array  # (V,) int64 sorted, invalid = sentinel
+    keys: jax.Array  # (V,) int32 local keys, sorted, invalid = sentinel
     means: jax.Array  # (V, 3)
     covs: jax.Array  # (V, 3, 3)
     counts: jax.Array  # (V,)
     mask: jax.Array  # (V,) bool
     resolution: jax.Array  # () float
+    origin: jax.Array  # (3,) int32 local-grid anchor (min occupied cell)
 
 
 @partial(jax.jit, static_argnames=("max_voxels", "min_points", "regularize"))
@@ -156,24 +202,27 @@ def build_gaussian_voxels(
     regularization follows PCL NDT: eigenvalues are floored at 1e-2 times the
     largest eigenvalue, keeping cells well-conditioned.
     """
-    keys = voxel_keys(cloud.xyz, cloud.mask, resolution)
+    origin = local_origin(cloud.xyz, cloud.mask, resolution)
+    keys = pack_local_keys(local_cells(cloud.xyz, resolution), origin, cloud.mask)
     order = jnp.argsort(keys)
     keys_s = keys[order]
-    valid_s = keys_s != _INVALID_KEY
+    valid_s = keys_s != _LOCAL_INVALID
     xyz_s = jnp.where(valid_s[:, None], cloud.xyz[order], 0.0)
 
     seg_ids, _ = _segment_ids_from_sorted_keys(keys_s)
-    counts = jax.ops.segment_sum(valid_s.astype(xyz_s.dtype), seg_ids, num_segments=max_voxels)
-    sums = jax.ops.segment_sum(xyz_s, seg_ids, num_segments=max_voxels)
     outer = xyz_s[:, :, None] * xyz_s[:, None, :]
-    sq_sums = jax.ops.segment_sum(outer.reshape(-1, 9), seg_ids, num_segments=max_voxels)
-    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels)
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([xyz_s, valid_s.astype(xyz_s.dtype)[:, None], outer.reshape(-1, 9)], axis=1),
+        seg_ids, num_segments=max_voxels, indices_are_sorted=True,
+    )
+    sums, counts, sq_sums = acc[:, :3], acc[:, 3], acc[:, 4:]
+    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels, indices_are_sorted=True)
 
     cnt = jnp.clip(counts, 1.0, None)
     means = sums / cnt[:, None]
     covs = sq_sums.reshape(-1, 3, 3) / cnt[:, None, None] - means[:, :, None] * means[:, None, :]
 
-    vmask = (counts >= min_points) & (seg_keys != _INVALID_KEY)
+    vmask = (counts >= min_points) & (seg_keys != _LOCAL_INVALID)
 
     if regularize == "ndt":
         # PCL NDT: inflate small eigenvalues to 0.01 * lambda_max
@@ -184,39 +233,52 @@ def build_gaussian_voxels(
 
     means = jnp.where(vmask[:, None], means, PAD_COORD)
     return GaussianVoxels(
-        keys=jnp.where(vmask, seg_keys, _INVALID_KEY),
+        keys=jnp.where(vmask, seg_keys, _LOCAL_INVALID),
         means=means,
         covs=covs,
         counts=counts,
         mask=vmask,
         resolution=jnp.asarray(resolution),
+        origin=origin,
     )
 
 
 def lookup_voxels(voxels: GaussianVoxels, query_keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Binary-search query keys in the sorted voxel key table.
+    """Binary-search int32 local query keys in the sorted voxel key table.
 
     Returns (index, found) per query. Replaces ndt_omp's kd-tree / DIRECT
     voxel neighbor lookup with a branch-free searchsorted.
     """
     idx = jnp.searchsorted(voxels.keys, query_keys)
     idx = jnp.clip(idx, 0, voxels.keys.shape[0] - 1)
-    found = (voxels.keys[idx] == query_keys) & voxels.mask[idx] & (query_keys != _INVALID_KEY)
+    found = (voxels.keys[idx] == query_keys) & voxels.mask[idx] & (query_keys != _LOCAL_INVALID)
     return idx, found
+
+
+def query_keys_for(voxels: GaussianVoxels, xyz: jax.Array, mask: jax.Array) -> jax.Array:
+    """Local keys of query points in a voxel table's grid (for lookup_voxels)."""
+    return pack_local_keys(local_cells(xyz, voxels.resolution), voxels.origin, mask)
 
 
 def neighbor_offsets(method: str) -> jax.Array:
     """DIRECT1 = containing cell only; DIRECT7 = + 6 face neighbors
-    (ndt_omp NeighborSearchMethod, registrations.cpp:113-119)."""
+    (ndt_omp NeighborSearchMethod, registrations.cpp:113-119). Integer ijk
+    offsets, applied in cell space before local-key packing."""
     if method.upper() == "DIRECT1":
         off = [(0, 0, 0)]
     else:  # DIRECT7 / KDTREE approximated by DIRECT7
         off = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
-    return jnp.asarray(off, dtype=jnp.int64)
+    return jnp.asarray(off, dtype=jnp.int32)
 
 
-def offset_keys(keys: jax.Array, offsets: jax.Array) -> jax.Array:
-    """Apply integer ijk offsets to packed voxel keys: (N,), (K,3) -> (N, K)."""
-    delta = (offsets[:, 0] << (2 * _AXIS_BITS)) + (offsets[:, 1] << _AXIS_BITS) + offsets[:, 2]
-    out = keys[:, None] + delta[None, :]
-    return jnp.where((keys == _INVALID_KEY)[:, None], _INVALID_KEY, out)
+def neighbor_query_keys(
+    voxels: GaussianVoxels, xyz: jax.Array, mask: jax.Array, offsets: jax.Array
+) -> jax.Array:
+    """Local keys of each query point's neighbor cells: (N,), (K,3) -> (N, K).
+
+    Offsets are applied to integer cell coordinates (not packed keys), so
+    grid-boundary wraparound is impossible — out-of-grid neighbors pack to
+    the sentinel and report not-found."""
+    ijk = local_cells(xyz, voxels.resolution)  # (N, 3)
+    nijk = ijk[:, None, :] + offsets[None, :, :]  # (N, K, 3)
+    return pack_local_keys(nijk, voxels.origin, mask[:, None])

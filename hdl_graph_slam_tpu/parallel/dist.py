@@ -107,22 +107,9 @@ def _pad_edges_for_shards(data: GraphData, n_shards: int) -> GraphData:
     return dataclasses.replace(data, edges=new_edges)
 
 
-def distributed_optimize(mesh: Mesh, data: GraphData, max_iterations: int = 512):
-    """Full LM optimization with edge-sharded linearization.
-
-    The entire accept/reject loop (graph/solver._optimize_impl) runs inside
-    one shard_map program: every device linearizes its |E|/n edge shard,
-    partial (H, b, chi2) ride psum over ICI each iteration, the damped dense
-    solve and vertex updates replicate. Semantically identical to the
-    single-chip graph.solver.optimize (same reduction tree up to float
-    reassociation).
-    """
-    from ..graph.solver import _optimize_impl
-
+def _optimize_specs(mesh: Mesh, data: GraphData):
+    """(data_spec, out_spec) PartitionSpec trees for the edge-sharded LM."""
     axis = mesh.axis_names[0]
-    n = mesh.devices.size
-    data = _pad_edges_for_shards(data, n)
-
     edge_specs = {k: EdgeTable(vi=P(axis), vj=P(axis), meas=P(axis), info=P(axis),
                                kernel_id=P(axis), kernel_delta=P(axis), mask=P(axis))
                   for k in data.edges}
@@ -133,20 +120,41 @@ def distributed_optimize(mesh: Mesh, data: GraphData, max_iterations: int = 512)
         points=rep, point_fixed=rep, point_mask=rep,
         edges=edge_specs,
     )
+    out_spec = (
+        data_spec,
+        jax.tree_util.tree_map(lambda _: rep, _stats_struct()),
+    )
+    return data_spec, out_spec
+
+
+def _optimize_program(mesh: Mesh, data: GraphData, max_iterations: int):
+    """Jitted shard_map program for the full edge-sharded LM loop (shared by
+    the single-process and multi-process entry points)."""
+    from ..graph.solver import _optimize_impl
+
+    axis = mesh.axis_names[0]
+    data_spec, out_spec = _optimize_specs(mesh, data)
 
     def prog(d: GraphData):
         out, stats = _optimize_impl(d, max_iterations, axis_name=axis)
         return out, stats
 
-    out_spec = (
-        GraphData(poses=rep, pose_fixed=rep, pose_mask=rep,
-                  planes=rep, plane_fixed=rep, plane_mask=rep,
-                  points=rep, point_fixed=rep, point_mask=rep,
-                  edges=edge_specs),
-        jax.tree_util.tree_map(lambda _: rep, _stats_struct()),
-    )
-    fn = jax.jit(_shard_map(prog, mesh, in_specs=(data_spec,), out_specs=out_spec))
-    return fn(data)
+    return jax.jit(_shard_map(prog, mesh, in_specs=(data_spec,), out_specs=out_spec))
+
+
+def distributed_optimize(mesh: Mesh, data: GraphData, max_iterations: int = 512):
+    """Full LM optimization with edge-sharded linearization.
+
+    The entire accept/reject loop (graph/solver._optimize_impl) runs inside
+    one shard_map program: every device linearizes its |E|/n edge shard,
+    partial (H, b, chi2) ride psum over ICI each iteration, the damped dense
+    solve and vertex updates replicate. Semantically identical to the
+    single-chip graph.solver.optimize (same reduction tree up to float
+    reassociation).
+    """
+    n = mesh.devices.size
+    data = _pad_edges_for_shards(data, n)
+    return _optimize_program(mesh, data, max_iterations)(data)
 
 
 def _stats_struct():

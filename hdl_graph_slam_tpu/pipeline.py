@@ -108,12 +108,8 @@ class SlamPipeline:
             self.add_gps(stamp, out.latitude, out.longitude)
 
     def finish(self) -> None:
-        """Flush all queues and run a final optimization."""
-        self.slam.cfg.backend.max_keyframes_per_update = max(
-            self.slam.cfg.backend.max_keyframes_per_update, len(self.slam.keyframe_queue)
-        )
-        self.slam.optimize_cycle()
-        self.slam.optimize_cycle()
+        """Flush all queues and run a final optimization (config untouched)."""
+        self.slam.flush()
 
     def run(self, frames: Iterable[Tuple[float, np.ndarray, Optional[np.ndarray]]]) -> PipelineResult:
         t0 = time.perf_counter()

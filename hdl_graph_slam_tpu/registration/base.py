@@ -105,7 +105,14 @@ def lm_loop(
         lam = jnp.where(accept, lam_acc, lam_rej)
         nu = jnp.where(accept, 2.0, 2.0 * s.nu)
         T = jnp.where(accept, T_new, s.T)
-        conv = accept & se3_delta_converged(delta, transformation_epsilon)
+        # Converged when the damped step is below epsilon, accepted or not:
+        # in f32 the trial-cost comparison bottoms out at the rounding noise
+        # floor near the optimum — rejections then double lambda forever and
+        # the accept-gated test would spin to max_iterations (observed on
+        # TPU: ~24% of frames at 64 iterations with optimal poses). A
+        # rejected sub-epsilon step means no progress >= epsilon is possible,
+        # which is exactly fast_gicp's termination condition.
+        conv = se3_delta_converged(delta, transformation_epsilon)
         return LMState(T=T, lam=lam, nu=nu, it=s.it + 1, converged=conv,
                        num_inliers=ninl, error=jnp.where(accept, cost_new, cost))
 

@@ -68,7 +68,9 @@ def preprocess(cloud: PointCloud, k: int = 20, exact: bool = False) -> GicpCloud
     if exact:
         idx, _ = knn.knn(xyz, xyz, k)
     else:
-        idx, _ = knn.knn_approx(xyz, xyz, k)
+        # neighbor SET only — the covariance is permutation-invariant, so the
+        # exact-distance rescore (the expensive part of knn_approx) is skipped
+        idx, _ = knn.knn_approx(xyz, xyz, k, exact_dists=False)
     nbrs = xyz[idx]  # (N, k, 3)
     mean = jnp.mean(nbrs, axis=1, keepdims=True)
     centered = nbrs - mean

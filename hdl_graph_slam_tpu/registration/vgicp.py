@@ -28,24 +28,29 @@ from ..ops import voxel as voxelops
 from .base import AlignResult, lm_loop
 from .gicp import GicpCloud, _inv3x3, preprocess as gicp_preprocess
 
-_INVALID_KEY = jnp.iinfo(jnp.int64).max
+_INVALID_KEY = voxelops._LOCAL_INVALID
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VgicpTarget:
-    keys: jax.Array  # (V,) sorted voxel keys
+    keys: jax.Array  # (V,) sorted int32 local voxel keys (ops/voxel.py)
     means: jax.Array  # (V, 3)
     covs: jax.Array  # (V, 3, 3) voxel-aggregated GICP covariances
     mask: jax.Array  # (V,)
     resolution: jax.Array
+    origin: jax.Array  # (3,) int32 local-grid anchor
 
 
 @partial(jax.jit, static_argnames=("max_voxels", "k"))
 def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: int = 20) -> VgicpTarget:
-    """Per-point GICP covariances -> voxel-aggregated Gaussians."""
+    """Per-point GICP covariances -> voxel-aggregated Gaussians.
+
+    Voxel addressing uses the target-anchored int32 local keys (native int32
+    sort/searchsorted on TPU, no x64 in the per-iteration lookup)."""
     gc = gicp_preprocess(cloud, k=k)
-    keys = voxelops.voxel_keys(cloud.xyz, cloud.mask, resolution)
+    origin = voxelops.local_origin(cloud.xyz, cloud.mask, resolution)
+    keys = voxelops.pack_local_keys(voxelops.local_cells(cloud.xyz, resolution), origin, cloud.mask)
     order = jnp.argsort(keys)
     keys_s = keys[order]
     valid_s = keys_s != _INVALID_KEY
@@ -54,11 +59,14 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
 
     starts = jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]])
     seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    counts = jax.ops.segment_sum(valid_s.astype(xyz_s.dtype), seg, num_segments=max_voxels)
-    mean = jax.ops.segment_sum(xyz_s, seg, num_segments=max_voxels) / jnp.clip(counts[:, None], 1.0, None)
-    cov = jax.ops.segment_sum(covs_s.reshape(-1, 9), seg, num_segments=max_voxels).reshape(-1, 3, 3)
-    cov = cov / jnp.clip(counts[:, None, None], 1.0, None)
-    seg_keys = jax.ops.segment_max(keys_s, seg, num_segments=max_voxels)
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([xyz_s, valid_s.astype(xyz_s.dtype)[:, None], covs_s.reshape(-1, 9)], axis=1),
+        seg, num_segments=max_voxels, indices_are_sorted=True,
+    )
+    counts = acc[:, 3]
+    mean = acc[:, :3] / jnp.clip(counts[:, None], 1.0, None)
+    cov = acc[:, 4:].reshape(-1, 3, 3) / jnp.clip(counts[:, None, None], 1.0, None)
+    seg_keys = jax.ops.segment_max(keys_s, seg, num_segments=max_voxels, indices_are_sorted=True)
     vmask = (counts > 0) & (seg_keys != _INVALID_KEY)
     return VgicpTarget(
         keys=jnp.where(vmask, seg_keys, _INVALID_KEY),
@@ -66,11 +74,12 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
         covs=cov,
         mask=vmask,
         resolution=jnp.asarray(resolution),
+        origin=origin,
     )
 
 
 def _correspond(tgt: VgicpTarget, moved: jax.Array, mask: jax.Array):
-    keys = voxelops.voxel_keys(moved, mask, tgt.resolution)
+    keys = voxelops.pack_local_keys(voxelops.local_cells(moved, tgt.resolution), tgt.origin, mask)
     idx = jnp.clip(jnp.searchsorted(tgt.keys, keys), 0, tgt.keys.shape[0] - 1)
     found = (tgt.keys[idx] == keys) & tgt.mask[idx] & mask
     return idx, found

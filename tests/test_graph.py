@@ -5,6 +5,7 @@ reference lacks — SURVEY.md §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hdl_graph_slam_tpu.core import plane as planelib
 from hdl_graph_slam_tpu.core import se3
@@ -323,3 +324,73 @@ class TestLargeGraphF32:
             for k in range(0, n, 10)
         ]
         assert max(errs) < 0.8, errs  # statistical limit of 0.02/step drift between anchors
+
+
+class TestSchurSolver:
+    """linear_solver='schur' (graph/schur.py): landmark elimination must
+    reproduce the dense optimum on landmark-heavy graphs (VERDICT r1 #5)."""
+
+    def _landmark_graph(self, n_poses=10, n_points=12, n_planes=6, seed=21):
+        rng = np.random.default_rng(seed)
+        g = GraphBuilder()
+        pose_ids = [g.add_se3_node(np.eye(4), fixed=True)]
+        est = np.eye(4)
+        truth = [np.eye(4)]
+        for k in range(1, n_poses):
+            rel = np.eye(4)
+            rel[0, 3] = 1.0
+            t = truth[-1] @ rel
+            truth.append(t)
+            noise = np.asarray(
+                se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)])))
+            )
+            est = est @ rel @ noise
+            pose_ids.append(g.add_se3_node(est.copy()))
+            g.add_se3_edge(pose_ids[k], pose_ids[k - 1], np.linalg.inv(rel @ noise), np.eye(6) * 50.0)
+
+        # point landmarks observed from several poses
+        pts_true = rng.uniform(-3, 3, (n_points, 3)) + np.array([4.0, 0.0, 1.0])
+        pt_ids = [g.add_point_xyz_node(p + rng.normal(0, 0.1, 3)) for p in pts_true]
+        for k in range(n_poses):
+            Tinv = np.linalg.inv(truth[k])
+            for j in range(n_points):
+                if (j + k) % 3 != 0:
+                    continue
+                local = Tinv[:3, :3] @ pts_true[j] + Tinv[:3, 3] + rng.normal(0, 0.01, 3)
+                g.add_se3_point_xyz_edge(pose_ids[k], pt_ids[j], local, np.eye(3) * 20.0)
+
+        # plane landmarks (floor-like), observed via se3_plane edges
+        for j in range(n_planes):
+            d = 0.3 * j
+            plane_id = g.add_plane_node([0.0, 0.0, 1.0, d + rng.normal(0, 0.05)])
+            for k in range(0, n_poses, 2):
+                # plane in sensor frame of the TRUE pose
+                coeffs = np.array([0.0, 0.0, 1.0, d])
+                Tk = truth[k]
+                n_w = coeffs[:3]
+                local_n = Tk[:3, :3].T @ n_w
+                local_d = coeffs[3] + n_w @ Tk[:3, 3]
+                g.add_se3_plane_edge(pose_ids[k], plane_id, np.concatenate([local_n, [local_d]]), np.eye(3) * 10.0)
+        return g, pose_ids
+
+    def test_matches_dense_on_landmark_graph(self):
+        g, ids = self._landmark_graph()
+        assert len(g.planes) + len(g.points) >= 16  # landmark-heavy per VERDICT
+        data = g.freeze()
+        dense, dense_stats = optimize(data, max_iterations=40, linear_solver="dense")
+        schur, schur_stats = optimize(data, max_iterations=40, linear_solver="schur")
+        np.testing.assert_allclose(
+            np.asarray(schur.poses[: len(ids)]), np.asarray(dense.poses[: len(ids)]), atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(schur.points), np.asarray(dense.points), atol=1e-4)
+        assert abs(float(schur_stats.chi2_robust_after) - float(dense_stats.chi2_robust_after)) < 1e-6 * (
+            1 + float(dense_stats.chi2_robust_after)
+        )
+
+    def test_rejects_landmark_coupling(self):
+        g = GraphBuilder()
+        p1 = g.add_plane_node([0, 0, 1, 0])
+        p2 = g.add_plane_node([0, 0, 1, 1])
+        g.add_plane_parallel_edge(p1, p2, np.zeros(3), np.eye(3))
+        with pytest.raises(ValueError):
+            optimize(g.freeze(), max_iterations=5, linear_solver="schur")

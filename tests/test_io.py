@@ -335,3 +335,62 @@ class TestMsgParsers:
         raw = header + struct.pack("<I", len(s)) + s
         stamp, sentence = rb.parse_nmea_sentence(raw)
         assert sentence == "$GPRMC,x*00"
+
+
+class TestFord:
+    """Real-format Ford IJRR fixtures (VERDICT r1 #9): a scipy-written
+    Scan####.mat with the SCAN struct layout ford2bag.py consumes
+    (src/hdl_graph_slam/ford2bag.py:59-68) and a GPS.log in both the
+    radians (raw) and degrees (csv export) conventions."""
+
+    def _write_scan(self, path, xyz, stamp_us):
+        from scipy import io as sio
+
+        sio.savemat(
+            str(path),
+            {"SCAN": {"XYZ": np.asarray(xyz, dtype=np.float64).T,  # (3, N) like the dataset
+                      "timestamp_laser": np.asarray([stamp_us], dtype=np.float64)}},
+        )
+
+    def test_scan_mat_golden(self, tmp_path):
+        from hdl_graph_slam_tpu.io.ford import read_scan_mat
+
+        xyz = np.array([[1.0, 2.0, 3.0], [-4.0, 5.5, 0.25], [7.0, -8.0, 9.0], [0.5, 0.0, -2.0]])
+        self._write_scan(tmp_path / "Scan0001.mat", xyz, 1_234_567_890.0)
+        stamp, out = read_scan_mat(str(tmp_path / "Scan0001.mat"))
+        assert abs(stamp - 1234.56789) < 1e-6
+        np.testing.assert_allclose(out, xyz, atol=1e-6)
+        assert out.dtype == np.float32
+
+    def test_gps_log_radians_and_degrees(self, tmp_path):
+        from hdl_graph_slam_tpu.io.ford import read_gps_log
+
+        lat_deg, lon_deg, alt = 42.294319, -83.223099, 150.5
+        # raw logs carry radians (ford2bag.py applies a degree conversion)
+        rad_row = f"1000000 0 0 {np.radians(lat_deg):.12f} {np.radians(lon_deg):.12f} {alt}\n"
+        deg_row = f"2000000 0 0 {lat_deg} {lon_deg} {alt}\n"
+        p = tmp_path / "GPS.log"
+        p.write_text(rad_row + deg_row)
+        rows = list(read_gps_log(str(p)))
+        assert len(rows) == 2
+        for stamp, lat, lon, a in rows:
+            assert abs(lat - lat_deg) < 1e-6
+            assert abs(lon - lon_deg) < 1e-6
+            assert abs(a - alt) < 1e-9
+        assert abs(rows[0][0] - 1.0) < 1e-9 and abs(rows[1][0] - 2.0) < 1e-9
+
+    def test_dataset_directory(self, tmp_path):
+        from hdl_graph_slam_tpu.io.ford import FordDataset
+
+        scans = tmp_path / "SCANS"
+        scans.mkdir()
+        for i, x in enumerate([0.0, 1.0]):
+            pts = np.array([[x, 0.0, 0.0], [x, 1.0, 0.5], [x, -1.0, 0.5], [x, 2.0, 1.0]])
+            self._write_scan(scans / f"Scan{i:04d}.mat", pts, (i + 1) * 1e6)
+        (tmp_path / "GPS.log").write_text("1000000 0 0 0.7 -1.4 100\n")
+        ds = FordDataset(str(tmp_path))
+        frames = list(ds.frames())
+        assert len(frames) == 2
+        assert frames[1][1][0, 0] == 1.0
+        gps = list(ds.gps())
+        assert len(gps) == 1 and abs(gps[0][1] - np.degrees(0.7)) < 1e-6

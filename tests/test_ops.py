@@ -122,7 +122,7 @@ class TestVoxel:
     def test_voxel_lookup(self):
         c, pts = make_cloud(500, seed=11, scale=4.0)
         gv = voxel.build_gaussian_voxels(c, 2.0, max_voxels=256, min_points=1)
-        keys = voxel.voxel_keys(c.xyz, c.mask, 2.0)
+        keys = voxel.query_keys_for(gv, c.xyz, c.mask)
         idx, found = voxel.lookup_voxels(gv, keys)
         assert bool(jnp.all(found[:500]))
         # each point's voxel mean must be within half-diagonal of the point
@@ -133,10 +133,23 @@ class TestVoxel:
     def test_neighbor_offsets(self):
         off7 = voxel.neighbor_offsets("DIRECT7")
         assert off7.shape == (7, 3)
-        keys = jnp.asarray([voxel.voxel_keys(jnp.zeros((1, 3)), jnp.ones(1, dtype=bool), 1.0)[0]])
-        nk = voxel.offset_keys(keys, off7)
+        # neighbor keys of a point well inside a local grid are all distinct
+        c, _ = make_cloud(100, seed=3, scale=4.0)
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=256, min_points=1)
+        nk = voxel.neighbor_query_keys(gv, jnp.zeros((1, 3)), jnp.ones(1, dtype=bool), off7)
         assert nk.shape == (1, 7)
-        assert len(set(np.asarray(nk[0]).tolist())) == 7
+        vals = np.asarray(nk[0]).tolist()
+        assert len(set(vals)) == 7
+
+    def test_local_keys_out_of_grid_not_found(self):
+        """Queries outside the target's 1024^3 local grid must report
+        not-found (the align-loop semantics), never alias a real cell."""
+        c, _ = make_cloud(200, seed=5, scale=4.0)
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=256, min_points=1)
+        far = jnp.asarray([[5000.0, 0.0, 0.0], [-5000.0, 2.0, 1.0]])
+        keys = voxel.query_keys_for(gv, far, jnp.ones(2, dtype=bool))
+        _, found = voxel.lookup_voxels(gv, keys)
+        assert not bool(jnp.any(found))
 
 
 class TestFilters:

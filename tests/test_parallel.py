@@ -146,3 +146,65 @@ def test_hierarchical_optimize_approximates_full():
     # within ~2x of the full solve's truth error and clearly beat the init
     assert np.mean(e_hier) < 2.5 * np.mean(e_full) + 0.05, (np.mean(e_hier), np.mean(e_full))
     assert max(e_hier) < 2.0 * max(e_full) + 0.05, (max(e_hier), max(e_full))
+
+
+def _feed_chain_slam(cfg, n=14):
+    """Drive a HdlGraphSlam with a deterministic noisy odometry chain +
+    random structured clouds (enough edges to pass the >=10-edge gate)."""
+    from hdl_graph_slam_tpu.backend import HdlGraphSlam
+
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-8, 8, 600), rng.uniform(-8, 8, 600), rng.normal(0, 0.02, 600)], 1)
+    pts[300:, 2] = pts[300:, 0] * 0.4
+    cloud = cloudlib.from_numpy(pts.astype(np.float32), capacity=1024)
+    slam = HdlGraphSlam(cfg)
+    T = np.eye(4)
+    for i in range(n):
+        step = np.eye(4)
+        step[0, 3] = 1.0
+        noise = np.asarray(se3.se3_exp(jnp.asarray(np.concatenate([rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)]))))
+        T = T @ step @ noise
+        slam.add_frame(float(i), T.copy(), cloud)
+    slam.flush()
+    return slam
+
+
+def test_backend_distributed_optimize_matches_default():
+    """backend.distributed=True (edge-sharded LM over the local mesh) must
+    reproduce the dense-path estimates end-to-end through HdlGraphSlam."""
+    from hdl_graph_slam_tpu.core.config import SlamConfig
+
+    def mk(distributed):
+        cfg = SlamConfig()
+        cfg.backend.keyframe_delta_trans = 0.5
+        cfg.backend.max_keyframes_per_update = 100
+        cfg.backend.g2o_solver_num_iterations = 30
+        cfg.backend.distributed = distributed
+        cfg.loop.distance_thresh = 0.0
+        return cfg
+
+    s_ref = _feed_chain_slam(mk(False))
+    s_dist = _feed_chain_slam(mk(True))
+    assert len(s_ref.keyframes) == len(s_dist.keyframes) >= 10
+    for a, b in zip(s_ref.keyframes, s_dist.keyframes):
+        np.testing.assert_allclose(
+            s_ref.graph.poses[a.node_id], s_dist.graph.poses[b.node_id], atol=1e-6
+        )
+
+
+def test_backend_submap_partitioned_optimize():
+    """backend.submap_block_size routes large graphs through the submap
+    hierarchy and still produces a sane trajectory."""
+    from hdl_graph_slam_tpu.core.config import SlamConfig
+
+    cfg = SlamConfig()
+    cfg.backend.keyframe_delta_trans = 0.5
+    cfg.backend.max_keyframes_per_update = 100
+    cfg.backend.g2o_solver_num_iterations = 30
+    cfg.backend.submap_block_size = 6
+    cfg.loop.distance_thresh = 0.0
+    slam = _feed_chain_slam(cfg, n=16)
+    assert len(slam.keyframes) >= 14
+    xs = [slam.graph.poses[k.node_id][0, 3] for k in slam.keyframes]
+    # chain still roughly monotone along +x after block-wise optimization
+    assert all(b - a > 0.3 for a, b in zip(xs, xs[1:])), xs

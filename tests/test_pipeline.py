@@ -345,6 +345,33 @@ class TestOfflinePipeline:
         err = np.linalg.norm(est[:3, 3] - T_true[:3, 3])
         assert err < 0.5, (est[:3, 3], T_true[:3, 3])
 
+    def test_finish_leaves_config_untouched(self, world):
+        """finish() must drain all queues via HdlGraphSlam.flush() without
+        mutating the config (round-1 finish() rewrote
+        max_keyframes_per_update, corrupting later cycles)."""
+        from hdl_graph_slam_tpu.pipeline import SlamPipeline
+
+        cfg = SlamConfig()
+        cfg.prefilter.downsample_resolution = 0.4
+        cfg.prefilter.outlier_removal_method = "NONE"
+        cfg.odometry.keyframe_delta_trans = 0.5
+        cfg.odometry.keyframe_delta_time = 1e9
+        cfg.backend.keyframe_delta_trans = 0.5
+        cfg.backend.max_keyframes_per_update = 2  # force multiple flush cycles
+        cfg.backend.graph_update_interval = 1e9  # no mid-run optimize
+        cfg.floor.enabled = False
+
+        pipe = SlamPipeline(cfg, cloud_capacity=8192)
+        for i in range(8):
+            pose = np.eye(4)
+            pose[0, 3] = 0.8 * i
+            pipe.process_frame(float(i), scan_at(world, pose, seed=i, n_keep=3000))
+        assert len(pipe.slam.keyframe_queue) > 2
+        pipe.finish()
+        assert pipe.slam.cfg.backend.max_keyframes_per_update == 2
+        assert len(pipe.slam.keyframe_queue) == 0
+        assert len(pipe.slam.keyframes) >= 6
+
 
 class TestAsyncBackend:
     def test_async_optimize_runs_concurrently(self, world):

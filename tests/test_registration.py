@@ -189,3 +189,46 @@ class TestNdtQuadExp:
         He = jax.jacfwd(jax.jacfwd(exact))(zero)
         Hq = jax.jacfwd(jax.jacfwd(quad))(zero)
         np.testing.assert_allclose(np.asarray(He), np.asarray(Hq), atol=1e-9)
+
+
+class TestNdtAnalyticDerivatives:
+    def test_matches_autodiff(self):
+        """The closed-form NDT gradient/Hessian (registration/ndt.py
+        score_derivatives — Magnusson-style, twist parameterization) must
+        equal jax.grad/jax.hessian of the composed mixture score through the
+        quadratic exp truncation at delta=0 (the round-1 autodiff path)."""
+        import jax
+
+        from hdl_graph_slam_tpu.registration import ndt as ndtmod
+
+        rng = np.random.default_rng(7)
+        N, K = 50, 7
+        moved0 = jnp.asarray(rng.normal(size=(N, 3)) * 3.0)
+        means = jnp.asarray(moved0[:, None, :] + rng.normal(size=(N, K, 3)) * 0.5)
+        A = rng.normal(size=(N, K, 3, 3)) * 0.4
+        icovs = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 0.5 * np.eye(3))
+        mask = jnp.asarray(rng.random(N) < 0.9)
+        found = jnp.asarray(rng.random((N, K)) < 0.8)
+        d1, d2 = jnp.asarray(-1.2), jnp.asarray(0.9)
+
+        def quad_exp(delta):
+            W = jnp.zeros((4, 4), moved0.dtype)
+            W = W.at[:3, :3].set(se3.hat(delta[3:]))
+            W = W.at[:3, 3].set(delta[:3])
+            return jnp.eye(4, dtype=moved0.dtype) + W + 0.5 * (W @ W)
+
+        def loss(delta):
+            T = quad_exp(delta)
+            moved = moved0 @ T[:3, :3].T + T[:3, 3]
+            q = moved[:, None, :] - means
+            md = jnp.einsum("nki,nkij,nkj->nk", q, icovs, q)
+            e = d1 * jnp.exp(-0.5 * d2 * md)
+            w = (found & mask[:, None]).astype(moved.dtype)
+            return jnp.sum(e * w)
+
+        zero = jnp.zeros(6, moved0.dtype)
+        g_ref = np.asarray(jax.grad(loss)(zero))
+        H_ref = np.asarray(jax.hessian(loss)(zero))
+        g, H = ndtmod.score_derivatives(d1, d2, moved0, mask, means, icovs, found)
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-9, atol=1e-10)

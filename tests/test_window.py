@@ -1,0 +1,135 @@
+"""Windowed odometry (frontend/window.py): the K-frames-in-one-program path
+must be numerically identical to the per-frame DeviceOdometry path — it is
+the same device_step_impl, only scanned — and the status fields must carry
+the ScanMatchingStatus parity data (prediction errors per guess source)."""
+
+import numpy as np
+
+import jax
+
+from hdl_graph_slam_tpu.core import cloud as cloudlib
+from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig
+from hdl_graph_slam_tpu.frontend import DeviceOdometry, Prefilter
+from hdl_graph_slam_tpu.frontend.window import OdometryWindow, stack_scans
+
+from test_pipeline import make_world, scan_at
+
+
+def _drive_scans(world, n, step=0.4):
+    scans = []
+    for i in range(n):
+        pose = np.eye(4)
+        pose[0, 3] = step * i
+        scans.append(scan_at(world, pose, seed=i))
+    return scans
+
+
+class TestOdometryWindow:
+    def test_matches_per_frame_device_path(self):
+        world = make_world()
+        cfg = OdometryConfig(
+            keyframe_delta_trans=1.5,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(),
+        )
+        pf_cfg = PrefilterConfig(downsample_resolution=0.3, outlier_removal_method="NONE")
+        n = 6
+        scans = _drive_scans(world, n)
+
+        # per-frame reference path
+        pf = Prefilter(pf_cfg, out_capacity=2048)
+        dev = DeviceOdometry(cfg)
+        per_frame = []
+        for i in range(n):
+            c = cloudlib.from_numpy(scans[i], capacity=2560)
+            per_frame.append(np.asarray(dev.step(0.1 * i, pf(c))))
+
+        # windowed path: frame 0 bootstraps, frames 1..n-1 in one program
+        win = OdometryWindow(cfg, prefilter_cfg=pf_cfg, out_capacity=2048)
+        state = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=2560))
+        xyz, mask = stack_scans(scans[1:], capacity=2560)
+        stamps = 0.1 * np.arange(1, n)
+        state, odoms, status = win.run(state, xyz, mask, stamps)
+        odoms = np.asarray(jax.block_until_ready(odoms))
+
+        assert odoms.shape == (n - 1, 4, 4)
+        for i in range(1, n):
+            np.testing.assert_allclose(odoms[i - 1], per_frame[i], atol=1e-5)
+        # status arrays are stacked over the window
+        assert np.asarray(status["converged"]).shape == (n - 1,)
+        assert np.asarray(status["relative_pose"]).shape == (n - 1, 4, 4)
+        assert np.asarray(status["prediction_error"]).shape == (n - 1, 4, 4)
+        assert np.all(np.isfinite(np.asarray(status["error"])))
+
+    def test_keyframe_switch_consistency_across_window_boundary(self):
+        """Splitting a drive into two windows must equal one long window
+        (state round-trips losslessly)."""
+        world = make_world()
+        cfg = OdometryConfig(
+            keyframe_delta_trans=1.0,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(),
+        )
+        n = 7
+        scans = _drive_scans(world, n, step=0.5)
+        xyz, mask = stack_scans(scans[1:], capacity=2560)
+        stamps = 0.1 * np.arange(1, n)
+
+        win = OdometryWindow(cfg)
+        state0 = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=2560))
+
+        _, odoms_full, _ = win.run(state0, xyz, mask, stamps)
+        odoms_full = np.asarray(jax.block_until_ready(odoms_full))
+
+        k = 3
+        st, odoms_a, _ = win.run(state0, xyz[:k], mask[:k], stamps[:k])
+        _, odoms_b, _ = win.run(st, xyz[k:], mask[k:], stamps[k:])
+        odoms_split = np.concatenate([np.asarray(odoms_a), np.asarray(odoms_b)])
+
+        np.testing.assert_allclose(odoms_split, odoms_full, atol=1e-6)
+
+
+class TestPredictionStatus:
+    def test_device_status_prediction_error(self):
+        world = make_world()
+        cfg = OdometryConfig(keyframe_delta_trans=3.0, keyframe_delta_time=1e9,
+                             registration=RegistrationConfig())
+        odo = DeviceOdometry(cfg)
+        delta = np.eye(4)
+        delta[0, 3] = 0.4
+        for i in range(3):
+            pose = np.eye(4)
+            pose[0, 3] = 0.4 * i
+            c = cloudlib.from_numpy(scan_at(world, pose, seed=i), capacity=2560)
+            odo.step(0.1 * i, c, msf_delta=delta if i > 0 else None,
+                     msf_source="odometry")
+        st = odo.last_status
+        assert st["prediction_labels"] == ("odometry",)
+        # error = T_final^-1 * msf_delta (scan_matching_odometry_nodelet.cpp:330
+        # compares the keyframe-relative final transform against the frame
+        # delta as-is; reproduce the reference formula exactly)
+        err = np.asarray(st["prediction_error"])
+        rel = np.asarray(st["relative_pose"])
+        np.testing.assert_allclose(err, np.linalg.inv(rel) @ delta, atol=1e-5)
+
+    def test_host_status_prediction_labels(self):
+        from hdl_graph_slam_tpu.frontend import ScanMatchingOdometry
+
+        world = make_world()
+        cfg = OdometryConfig(keyframe_delta_trans=3.0, keyframe_delta_time=1e9,
+                             registration=RegistrationConfig())
+        odo = ScanMatchingOdometry(cfg)
+        delta = np.eye(4)
+        delta[0, 3] = 0.4
+        for i in range(3):
+            pose = np.eye(4)
+            pose[0, 3] = 0.4 * i
+            c = cloudlib.from_numpy(scan_at(world, pose, seed=i), capacity=2560)
+            odo.step(0.1 * i, c, msf_delta=delta if i > 0 else None, msf_source="imu")
+        st = odo.last_status
+        assert st.prediction_labels == ("imu",)
+        assert len(st.prediction_errors) == 1
+        np.testing.assert_allclose(
+            st.prediction_errors[0], np.linalg.inv(st.relative_pose) @ delta, atol=1e-9
+        )
+        assert st.prediction_error is not None  # back-compat accessor
