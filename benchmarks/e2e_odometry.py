@@ -1,7 +1,11 @@
-"""End-to-end odometry throughput: the full ScanMatchingOdometry host loop
-(numpy ingestion -> prefilter -> fused GICP frame program -> keyframe
-logic), i.e. what a deployment actually sees per frame — including host
-round-trips, not just device kernels.
+"""End-to-end odometry throughput: per-frame-dispatch variants (the
+windowed single-program path lives in /bench.py). Measures what a
+LATENCY-BOUND deployment sees per frame — host round-trips included.
+
+Timing note (PERF.md "Measurement discipline"): results are materialized
+to host per measurement; through the axon tunnel, per-frame dispatch
+latency dominates these variants and varies run to run — that variance is
+the finding, not noise (it is why the windowed path is the headline).
 """
 
 from __future__ import annotations
@@ -64,7 +68,7 @@ def main():
         for i in range(3, n_frames):
             c = cloudlib.from_numpy(scans[i], capacity=32768)
             out = odo.step(i * 0.1, prefilter(c))
-        jax.block_until_ready(out) if hasattr(out, "block_until_ready") or not isinstance(out, np.ndarray) else None
+        np.asarray(out)  # host materialization — the only reliable fence here
         dt = (time.perf_counter() - t0) / (n_frames - 3)
         results[name] = 1.0 / dt
 

@@ -15,14 +15,43 @@ import numpy as np
 
 
 def timeit(fn, *args, reps=20):
+    """Honest device timing through the axon tunnel (PERF.md "Measurement
+    discipline"): block_until_ready is not a reliable fence there and an
+    identical re-dispatch can be short-circuited, so (a) all reps run inside
+    ONE lax.scan with a serial carry dependence threaded through the first
+    float input (prevents loop-invariant hoisting; value unchanged), (b) the
+    warmup uses perturbed inputs so the timed dispatch is distinct, and (c)
+    the timed call materializes its scalar reduction to host."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    fidx = next(
+        i for i, l in enumerate(leaves)
+        if hasattr(l, "dtype") and jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+    )
+
+    @jax.jit
+    def run(leaves):
+        def body(c, _):
+            ls = list(leaves)
+            ls[fidx] = ls[fidx] + c * 1e-30  # serial dependence, value unchanged
+            out = fn(*jax.tree_util.tree_unflatten(treedef, ls))
+            red = jnp.float32(0)
+            for o in jax.tree_util.tree_leaves(out):
+                o = jnp.asarray(o)
+                if jnp.issubdtype(o.dtype, jnp.bool_):
+                    o = o.astype(jnp.float32)
+                red = red + jnp.sum(o).astype(jnp.float32)
+            return red, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return c
+
+    warm = list(leaves)
+    warm[fidx] = jnp.asarray(warm[fidx]) + 1e-6
+    np.asarray(run(warm))  # compile + warm on DISTINCT inputs
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(run(leaves))
     return (time.perf_counter() - t0) / reps
 
 

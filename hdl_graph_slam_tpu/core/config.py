@@ -56,6 +56,10 @@ class OdometryConfig:
     downsample_method: str = "NONE"
     downsample_resolution: float = 0.1
     enable_imu_frontend: bool = False  # msf EKF init-guess hook equivalent
+    # external robot-odometry init guess (scan_matching_odometry_nodelet.cpp:
+    # 193-207: tf delta of the sensor between prev_time and stamp in the
+    # robot_odom frame). Feed poses via SlamPipeline.add_robot_odometry().
+    enable_robot_odometry_init_guess: bool = False
     registration: RegistrationConfig = field(default_factory=RegistrationConfig)
 
 

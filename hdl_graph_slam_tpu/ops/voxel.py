@@ -266,7 +266,7 @@ def neighbor_offsets(method: str) -> jax.Array:
     offsets, applied in cell space before local-key packing."""
     if method.upper() == "DIRECT1":
         off = [(0, 0, 0)]
-    else:  # DIRECT7 / KDTREE approximated by DIRECT7
+    else:  # DIRECT7 (KDTREE has its own centroid-radius path, registration/ndt.py)
         off = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
     return jnp.asarray(off, dtype=jnp.int32)
 

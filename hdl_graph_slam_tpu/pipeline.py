@@ -57,6 +57,12 @@ class SlamPipeline:
 
             self.imu_predictor = ImuPredictor()
         self._last_ang_vel = None  # for prefilter deskewing
+        # external robot-odometry init guess (scan_matching_odometry_nodelet.
+        # cpp:193-207): time-stamped poses in the robot_odom frame; per frame
+        # the delta between the previous frame time and the current stamp
+        # seeds the scan matcher (msf_source="odometry")
+        self._robot_odom: list = []  # [(stamp, 4x4 pose)]
+        self._prev_frame_time: Optional[float] = None
 
     def process_frame(self, stamp: float, xyz: np.ndarray, intensity: Optional[np.ndarray] = None) -> np.ndarray:
         if xyz is None or np.size(xyz) == 0:
@@ -68,11 +74,20 @@ class SlamPipeline:
         with GLOBAL_TIMER.span("prefilter"):
             ang_vel = self._last_ang_vel if self.cfg.prefilter.deskewing else None
             filtered = self.prefilter(cloud, ang_vel=ang_vel)
-        msf_delta = None
+        msf_delta, msf_source = None, "imu"
         if self.imu_predictor is not None:
             msf_delta = self.imu_predictor.predict_delta(stamp)
+        elif self.cfg.odometry.enable_robot_odometry_init_guess:
+            # reference if/else-if order: the IMU frontend wins when enabled
+            # (scan_matching_odometry_nodelet.cpp:182-207)
+            msf_delta = self._robot_odom_delta(self._prev_frame_time, stamp)
+            msf_source = "odometry"
         with GLOBAL_TIMER.span("odometry"):
-            odom = np.asarray(self.odometry.step(stamp, filtered, msf_delta=msf_delta), dtype=np.float64)
+            odom = np.asarray(
+                self.odometry.step(stamp, filtered, msf_delta=msf_delta, msf_source=msf_source),
+                dtype=np.float64,
+            )
+        self._prev_frame_time = stamp
         self.odometry_trajectory.append((stamp, odom))
         self.slam.add_frame(stamp, odom, filtered)
         if self.floor is not None:
@@ -99,6 +114,26 @@ class SlamPipeline:
             self._last_ang_vel = np.asarray(angular_velocity, dtype=np.float64)
             if self.imu_predictor is not None:
                 self.imu_predictor.add_imu(stamp, angular_velocity, acceleration)
+
+    def add_robot_odometry(self, stamp: float, pose: np.ndarray) -> None:
+        """Feed an external wheel/robot odometry pose (4x4, robot_odom frame)
+        for the scan-matching init guess (the reference's tf lookup source,
+        scan_matching_odometry_nodelet.cpp:193-207)."""
+        self._robot_odom.append((float(stamp), np.asarray(pose, dtype=np.float64)))
+        # keep a bounded history (a few seconds at sensor rate is plenty)
+        if len(self._robot_odom) > 1024:
+            del self._robot_odom[: len(self._robot_odom) - 1024]
+
+    def _robot_odom_delta(self, t0: Optional[float], t1: float) -> Optional[np.ndarray]:
+        """Delta of the robot-odometry pose between t0 and t1 (nearest
+        samples; the reference falls back to the latest tf when the exact
+        stamp is unavailable — scan_matching_odometry_nodelet.cpp:196-198).
+        None on the first frame or with no samples (identity guess)."""
+        if t0 is None or not self._robot_odom:
+            return None
+        p0 = min(self._robot_odom, key=lambda s: abs(s[0] - t0))[1]
+        p1 = min(self._robot_odom, key=lambda s: abs(s[0] - t1))[1]
+        return np.linalg.inv(p0) @ p1
 
     def add_nmea(self, stamp: float, sentence: str) -> None:
         from .io import nmea

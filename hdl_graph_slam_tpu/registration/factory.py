@@ -11,7 +11,8 @@ Method mapping (reference -> this engine):
 - FAST_VGICP, FAST_VGICP_CUDA    -> registration.vgicp
 - ICP                            -> registration.icp
 - NDT, NDT_OMP (KDTREE/DIRECT1/DIRECT7) -> registration.ndt
-  (KDTREE neighbor search is served by DIRECT7 — on TPU the 7-cell direct
+  (KDTREE = brute-force radius search over cell centroids, the pclomp
+  kd-tree semantics; DIRECT7 remains the default — on TPU the 7-cell direct
   lookup replaces the kd-tree with equal-or-better cell coverage)
 """
 

@@ -12,9 +12,11 @@ Algorithm (Magnusson 2009 / PCL NDT):
 - Newton iterations on the 6-dof pose, step length bounded by step_size
   (PCL default 0.1) via line search.
 
-TPU mapping: voxel lookup is a searchsorted binary search over the sorted
-cell-key table (no kd-tree); gradient and Hessian come from jax.grad/hessian
-of the score through the left-multiplied twist at zero; the More-Thuente
+TPU mapping: DIRECT voxel lookup is a searchsorted binary search over the
+sorted int32 local-key table; KDTREE mode (pclomp radiusSearch over cell
+centroids, registrations.cpp:108-112) is a brute-force MXU k-NN over the
+cell means gated at radius=resolution; gradient and Hessian are closed-form
+(score_derivatives) on the left-multiplied twist at zero; the More-Thuente
 line search becomes a *parallel* line search — all candidate step lengths
 are scored in one batched evaluation and the best is selected.
 """
@@ -73,6 +75,27 @@ def _gather_cells(tgt: NdtTarget, pts: jax.Array, mask: jax.Array, offsets: jax.
     idx, found = voxelops.lookup_voxels(tgt.voxels, nkeys.reshape(-1))
     K = offsets.shape[0]
     return idx.reshape(-1, K), found.reshape(-1, K)
+
+
+_KDTREE_MAX_CELLS = 8
+
+
+def _gather_cells_kdtree(tgt: NdtTarget, pts: jax.Array, mask: jax.Array):
+    """KDTREE neighbor mode (pclomp NeighborSearchMethod::KDTREE,
+    ndt_omp radiusSearch over the cell-*centroid* kd-tree with
+    radius=resolution, registrations.cpp:108-112): for each point, the cells
+    whose MEAN lies within ``resolution`` — found by MXU brute-force k-NN
+    over the V cell means (V ~ thousands: one small matmul), capped at
+    _KDTREE_MAX_CELLS candidates per point (a resolution-radius ball around
+    a point rarely contains more than ~7 cell centroids)."""
+    from ..ops import knn as knnops
+
+    means_q = jnp.where(tgt.voxels.mask[:, None], tgt.voxels.means, 1.0e6)
+    pts_q = jnp.where(mask[:, None], pts, 1.0e6)
+    idx, d2 = knnops.knn_approx(pts_q, means_q, _KDTREE_MAX_CELLS)
+    res2 = tgt.voxels.resolution * tgt.voxels.resolution
+    found = mask[:, None] & tgt.voxels.mask[idx] & (d2 <= res2)
+    return idx, found
 
 
 def _score(tgt: NdtTarget, moved: jax.Array, mask: jax.Array, means, icovs, found):
@@ -158,14 +181,18 @@ def align(
     num_line_search: int = 10,
 ) -> AlignResult:
     """Newton-optimize the NDT mixture score from ``guess``."""
-    offsets = voxelops.neighbor_offsets(nn_search_method)
+    if nn_search_method.upper() == "KDTREE":
+        gather = lambda pts, mask: _gather_cells_kdtree(tgt, pts, mask)
+    else:
+        offsets = voxelops.neighbor_offsets(nn_search_method)
+        gather = lambda pts, mask: _gather_cells(tgt, pts, mask, offsets)
     dtype = guess.dtype
     src_xyz = src.xyz
     src_mask = src.mask
 
     def full_score(T):
         moved = se3.transform_points(T, src_xyz)
-        idx, found = _gather_cells(tgt, moved, src_mask, offsets)
+        idx, found = gather(moved, src_mask)
         means = tgt.voxels.means[idx]
         icovs = tgt.icovs[idx]
         ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
@@ -178,7 +205,7 @@ def align(
         # correspondences at the current pose (fixed during differentiation,
         # like PCL's per-iteration voxel association)
         moved0 = se3.transform_points(s.T, src_xyz)
-        idx, found = _gather_cells(tgt, moved0, src_mask, offsets)
+        idx, found = gather(moved0, src_mask)
         means = tgt.voxels.means[idx]
         icovs = tgt.icovs[idx]
 
@@ -205,7 +232,7 @@ def align(
         def trial(alpha):
             T = se3.se3_exp(alpha * ddir) @ s.T
             moved = se3.transform_points(T, src_xyz)
-            i2, f2 = _gather_cells(tgt, moved, src_mask, offsets)
+            i2, f2 = gather(moved, src_mask)
             return _score(tgt, moved, src_mask, tgt.voxels.means[i2], tgt.icovs[i2], f2)
 
         trial_scores = jax.vmap(trial)(alphas)

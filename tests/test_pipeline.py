@@ -486,3 +486,38 @@ class TestDeviceOdometrySwitching:
         # and the pose keeps tracking after the switch
         final = np.asarray(odo.step(5.0, cloudlib.from_numpy(scan_at(world, np.diag([1.0]*4) , seed=9), capacity=2560)))
         assert np.isfinite(final).all()
+
+
+class TestRobotOdometryInitGuess:
+    def test_external_odometry_seeds_scan_matching(self, world):
+        """enable_robot_odometry_init_guess: the delta between external poses
+        at consecutive frame times seeds the matcher and is labeled
+        "odometry" in the status (scan_matching_odometry_nodelet.cpp:193-207)."""
+        from hdl_graph_slam_tpu.pipeline import SlamPipeline
+
+        cfg = SlamConfig()
+        cfg.prefilter.downsample_resolution = 0.4
+        cfg.prefilter.outlier_removal_method = "NONE"
+        cfg.odometry.keyframe_delta_trans = 3.0
+        cfg.odometry.keyframe_delta_time = 1e9
+        cfg.odometry.enable_robot_odometry_init_guess = True
+        cfg.backend.graph_update_interval = 1e9
+        cfg.floor.enabled = False
+
+        pipe = SlamPipeline(cfg, cloud_capacity=4096)
+        for i in range(4):
+            pose = np.eye(4)
+            pose[0, 3] = 0.5 * i
+            # wheel odometry: exact poses (a perfect external source)
+            pipe.add_robot_odometry(float(i), pose)
+            pipe.process_frame(float(i), scan_at(world, pose, seed=i, n_keep=3000))
+
+        st = pipe.odometry.last_status
+        assert st.prediction_labels == ("odometry",)
+        # perfect guess: prediction error = T_final^-1 * delta with the
+        # delta ~= per-frame step; just require it finite and well-formed
+        assert st.prediction_errors[0].shape == (4, 4)
+        assert np.all(np.isfinite(st.prediction_errors[0]))
+        # and odometry tracked the drive
+        est = pipe.odometry_trajectory[-1][1]
+        assert abs(est[0, 3] - 1.5) < 0.1
