@@ -7,40 +7,102 @@ This variant keeps the *entire* frame step on device as one jitted program:
 
     state' , odom, status = step(state, cloud, stamp)
 
-- the GICP target (preprocessed keyframe) lives in device memory;
+- the registration target (preprocessed keyframe) lives in device memory;
 - alignment runs from the prev_trans guess (scan_matching_odometry_nodelet
   .cpp:210 semantics);
 - the convergence gate, transform thresholding, and keyframe switching
   (:214-252) are lax.cond/select logic inside the program;
 - on a keyframe switch the freshly preprocessed source becomes the new
-  target without ever leaving the chip.
+  target without ever leaving the chip (for VGICP/NDT the voxel target is
+  rebuilt from the frame's cloud inside a lax.cond, so the cost is paid
+  only on switching frames — the analog of setInputTarget's grid rebuild).
+
+All reference registration methods are supported (FAST_GICP / FAST_VGICP /
+NDT / ICP — select via OdometryConfig.registration.registration_method);
+the method-specific preprocess/target-build/align triple is resolved once
+at trace time (make_method_fns).
 
 The host only feeds clouds and reads back poses (which it may do
-asynchronously, letting dispatch run ahead of retrieval).
+asynchronously, letting dispatch run ahead of retrieval); frontend/window.py
+amortizes even the dispatch over K-frame windows.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core import se3
 from ..core.cloud import PointCloud
-from ..core.config import OdometryConfig
-from ..registration import gicp
+from ..core.config import OdometryConfig, RegistrationConfig
+from ..registration import gicp, icp, ndt, vgicp
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class OdomState:
-    tgt: gicp.GicpCloud  # current keyframe, preprocessed
+    tgt: Any  # current keyframe, preprocessed (method-specific pytree)
     keyframe_pose: jax.Array  # (4,4)
     prev_trans: jax.Array  # (4,4) transform since keyframe
     keyframe_stamp: jax.Array  # ()
+
+
+def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
+    """(preprocess_src, make_target, align) for the configured method.
+
+    - preprocess_src(cloud) -> source state consumed by align;
+    - make_target(cloud, src_state) -> keyframe target state (called at
+      bootstrap and inside the keyframe-switch lax.cond);
+    - align(tgt_state, src_state, guess) -> AlignResult.
+
+    Method mapping mirrors select_registration_method
+    (src/hdl_graph_slam/registrations.cpp:22-124).
+    """
+    m = cfg.registration_method.upper()
+    if "VGICP" in m:
+        prep = lambda cloud: gicp.preprocess(cloud, k=cfg.reg_correspondence_randomness)
+        make_tgt = lambda cloud, src: vgicp.preprocess_target(
+            cloud, cfg.reg_resolution, max_voxels=max_voxels, k=cfg.reg_correspondence_randomness
+        )
+        align = lambda tgt, src, guess: vgicp.align(
+            tgt, src, guess,
+            transformation_epsilon=cfg.reg_transformation_epsilon,
+            max_iterations=cfg.reg_maximum_iterations,
+        )
+    elif "GICP" in m:
+        prep = lambda cloud: gicp.preprocess(cloud, k=cfg.reg_correspondence_randomness)
+        make_tgt = lambda cloud, src: src
+        align = lambda tgt, src, guess: gicp.align(
+            tgt, src, guess,
+            max_corr_dist=cfg.reg_max_correspondence_distance,
+            transformation_epsilon=cfg.reg_transformation_epsilon,
+            max_iterations=cfg.reg_maximum_iterations,
+        )
+    elif m == "ICP":
+        prep = lambda cloud: cloud
+        make_tgt = lambda cloud, src: cloud
+        align = lambda tgt, src, guess: icp.align(
+            tgt, src, guess,
+            max_corr_dist=cfg.reg_max_correspondence_distance,
+            transformation_epsilon=cfg.reg_transformation_epsilon,
+            max_iterations=cfg.reg_maximum_iterations,
+            use_reciprocal=cfg.reg_use_reciprocal_correspondences,
+        )
+    else:  # NDT / NDT_OMP
+        prep = lambda cloud: cloud
+        make_tgt = lambda cloud, src: ndt.preprocess_target(
+            cloud, cfg.reg_resolution, max_voxels=max_voxels
+        )
+        align = lambda tgt, src, guess: ndt.align(
+            tgt, src, guess,
+            transformation_epsilon=cfg.reg_transformation_epsilon,
+            max_iterations=cfg.reg_maximum_iterations,
+            nn_search_method=cfg.reg_nn_search_method,
+        )
+    return prep, make_tgt, align
 
 
 def device_step_impl(
@@ -48,10 +110,9 @@ def device_step_impl(
     cloud: PointCloud,
     stamp,
     msf_delta,
-    k: int,
-    max_corr_dist,
-    transformation_epsilon,
-    max_iterations: int,
+    prep,
+    make_tgt,
+    align,
     keyframe_delta_trans,
     keyframe_delta_angle,
     keyframe_delta_time,
@@ -59,14 +120,12 @@ def device_step_impl(
     max_acceptable_trans,
     max_acceptable_angle,
 ):
-    src = gicp.preprocess(cloud, k=k)
+    """One full odometry frame on device (matching(), scan_matching_odometry
+    _nodelet.cpp:165-262). Pure/traceable — jitted by DeviceOdometry and
+    scanned by frontend/window.py."""
+    src = prep(cloud)
     guess = state.prev_trans @ msf_delta
-    res = gicp.align(
-        state.tgt, src, guess,
-        max_corr_dist=max_corr_dist,
-        transformation_epsilon=transformation_epsilon,
-        max_iterations=max_iterations,
-    )
+    res = align(state.tgt, src, guess)
 
     # convergence gate (:214-218): ignore frame, keep prev_trans
     trans = jnp.where(res.converged, res.transformation, state.prev_trans)
@@ -93,8 +152,12 @@ def device_step_impl(
     )
 
     eye = jnp.eye(4, dtype=odom.dtype)
-    new_tgt = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(switch, new, old), src, state.tgt
+    # rebuild the target only on switching frames (setInputTarget analog);
+    # lax.cond keeps the voxel/covariance rebuild off non-switch frames
+    new_tgt = jax.lax.cond(
+        switch,
+        lambda: make_tgt(cloud, src),
+        lambda: state.tgt,
     )
     new_state = OdomState(
         tgt=new_tgt,
@@ -119,28 +182,45 @@ def device_step_impl(
     return new_state, odom, status
 
 
-_device_step = partial(jax.jit, static_argnames=("k", "max_iterations"))(device_step_impl)
-
-
 class DeviceOdometry:
-    """Host wrapper around the single-dispatch device step."""
+    """Host wrapper around the single-dispatch device step (any method)."""
 
-    def __init__(self, cfg: Optional[OdometryConfig] = None):
+    def __init__(self, cfg: Optional[OdometryConfig] = None, max_voxels: int = 8192):
         self.cfg = cfg or OdometryConfig()
         self.state: Optional[OdomState] = None
         self.last_status = None
+        self._fns = make_method_fns(self.cfg.registration, max_voxels=max_voxels)
+        self._step = None
+
+    def _build_step(self):
+        c = self.cfg
+        prep, make_tgt, align = self._fns
+
+        def step(state, cloud, stamp, msf_delta):
+            return device_step_impl(
+                state, cloud, stamp, msf_delta,
+                prep, make_tgt, align,
+                keyframe_delta_trans=c.keyframe_delta_trans,
+                keyframe_delta_angle=c.keyframe_delta_angle,
+                keyframe_delta_time=c.keyframe_delta_time,
+                transform_thresholding=c.transform_thresholding,
+                max_acceptable_trans=c.max_acceptable_trans,
+                max_acceptable_angle=c.max_acceptable_angle,
+            )
+
+        return jax.jit(step)
 
     def step(self, stamp: float, cloud: PointCloud, msf_delta=None, msf_source: str = "imu") -> jax.Array:
         """Returns the odometry pose as a device array (no forced sync).
 
         ``msf_source`` labels the guess provider in last_status
         (prediction_labels, scan_matching_odometry_nodelet.cpp:326-327)."""
-        c = self.cfg
         dtype = cloud.xyz.dtype
         if self.state is None:
-            tgt = gicp.preprocess(cloud, k=c.registration.reg_correspondence_randomness)
+            prep, make_tgt, align = self._fns
+            src = prep(cloud)
             self.state = OdomState(
-                tgt=tgt,
+                tgt=make_tgt(cloud, src),
                 keyframe_pose=jnp.eye(4, dtype=dtype),
                 prev_trans=jnp.eye(4, dtype=dtype),
                 keyframe_stamp=jnp.asarray(stamp, dtype),
@@ -149,21 +229,10 @@ class DeviceOdometry:
         have_guess = msf_delta is not None
         if msf_delta is None:
             msf_delta = jnp.eye(4, dtype=dtype)
-        self.state, odom, status = _device_step(
-            self.state,
-            cloud,
-            jnp.asarray(stamp, dtype),
-            jnp.asarray(msf_delta, dtype),
-            k=c.registration.reg_correspondence_randomness,
-            max_corr_dist=c.registration.reg_max_correspondence_distance,
-            transformation_epsilon=c.registration.reg_transformation_epsilon,
-            max_iterations=c.registration.reg_maximum_iterations,
-            keyframe_delta_trans=c.keyframe_delta_trans,
-            keyframe_delta_angle=c.keyframe_delta_angle,
-            keyframe_delta_time=c.keyframe_delta_time,
-            transform_thresholding=c.transform_thresholding,
-            max_acceptable_trans=c.max_acceptable_trans,
-            max_acceptable_angle=c.max_acceptable_angle,
+        if self._step is None:
+            self._step = self._build_step()
+        self.state, odom, status = self._step(
+            self.state, cloud, jnp.asarray(stamp, dtype), jnp.asarray(msf_delta, dtype)
         )
         status["prediction_labels"] = (msf_source,) if have_guess else ()
         self.last_status = status

@@ -27,8 +27,7 @@ import numpy as np
 
 from ..core.cloud import PAD_COORD, PointCloud
 from ..core.config import OdometryConfig, PrefilterConfig
-from ..registration import gicp
-from .odometry_device import OdomState, device_step_impl
+from .odometry_device import OdomState, device_step_impl, make_method_fns
 from .prefilter import make_prefilter_fn
 
 
@@ -54,12 +53,14 @@ class OdometryWindow:
         cfg: Optional[OdometryConfig] = None,
         prefilter_cfg: Optional[PrefilterConfig] = None,
         out_capacity: int = 8192,
+        max_voxels: int = 8192,
     ):
         self.cfg = cfg or OdometryConfig()
         self.prefilter_cfg = prefilter_cfg
         self._pf = (
             make_prefilter_fn(prefilter_cfg, out_capacity) if prefilter_cfg is not None else None
         )
+        self._fns = make_method_fns(self.cfg.registration, max_voxels=max_voxels)
         self._run = None
 
     def _prefilter(self, cloud: PointCloud) -> PointCloud:
@@ -71,9 +72,9 @@ class OdometryWindow:
     def init_state(self, stamp: float, raw_cloud: PointCloud) -> OdomState:
         """Bootstrap from the first frame (sets it as the keyframe target,
         scan_matching_odometry_nodelet.cpp:166-174)."""
-        c = self.cfg
+        prep, make_tgt, _ = self._fns
         cloud = jax.jit(self._prefilter)(raw_cloud) if self._pf is not None else raw_cloud
-        tgt = gicp.preprocess(cloud, k=c.registration.reg_correspondence_randomness)
+        tgt = make_tgt(cloud, prep(cloud))
         dtype = raw_cloud.xyz.dtype
         return OdomState(
             tgt=tgt,
@@ -84,7 +85,7 @@ class OdometryWindow:
 
     def _build(self):
         c = self.cfg
-        r = c.registration
+        prep, make_tgt, align = self._fns
 
         def frame(state, inp):
             xyz, mask, stamp = inp
@@ -94,10 +95,7 @@ class OdometryWindow:
                 cloud,
                 stamp,
                 jnp.eye(4, dtype=xyz.dtype),
-                k=r.reg_correspondence_randomness,
-                max_corr_dist=r.reg_max_correspondence_distance,
-                transformation_epsilon=r.reg_transformation_epsilon,
-                max_iterations=r.reg_maximum_iterations,
+                prep, make_tgt, align,
                 keyframe_delta_trans=c.keyframe_delta_trans,
                 keyframe_delta_angle=c.keyframe_delta_angle,
                 keyframe_delta_time=c.keyframe_delta_time,

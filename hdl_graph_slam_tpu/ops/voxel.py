@@ -105,6 +105,16 @@ def _segment_ids_from_sorted_keys(keys_sorted: jax.Array) -> Tuple[jax.Array, ja
     return seg_ids, starts
 
 
+def _segment_keys(keys_s: jax.Array, seg_ids: jax.Array, max_segments: int) -> jax.Array:
+    """Representative key per segment WITHOUT a scatter: segment v's first
+    row position is searchsorted(seg_ids, v), and all keys within a segment
+    are equal. Slots past the last segment gather an arbitrary key — callers
+    mask those via their count==0 / sentinel-key checks."""
+    n = keys_s.shape[0]
+    start = jnp.searchsorted(seg_ids, jnp.arange(max_segments, dtype=seg_ids.dtype))
+    return keys_s[jnp.clip(start, 0, n - 1)]
+
+
 @partial(jax.jit, static_argnames=("max_voxels",))
 def voxel_downsample(cloud: PointCloud, resolution, max_voxels: int) -> PointCloud:
     """Centroid voxel-grid downsample (pcl::VoxelGrid semantics).
@@ -134,7 +144,7 @@ def voxel_downsample(cloud: PointCloud, resolution, max_voxels: int) -> PointClo
     )
     sums, counts = acc[:, :3], acc[:, 3]
     # representative key per segment (all equal within a segment)
-    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels, indices_are_sorted=True)
+    seg_keys = _segment_keys(keys_s, seg_ids, max_voxels)
 
     out_mask = (counts > 0) & (seg_keys != _INVALID_KEY)
     centroids = sums / jnp.clip(counts[:, None], 1.0, None)
@@ -152,7 +162,7 @@ def occupied_voxel_centers(cloud: PointCloud, resolution, max_voxels: int) -> Po
     keys = voxel_keys(cloud.xyz, cloud.mask, resolution)
     keys_s = jnp.sort(keys)
     seg_ids, _ = _segment_ids_from_sorted_keys(keys_s)
-    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels, indices_are_sorted=True)
+    seg_keys = _segment_keys(keys_s, seg_ids, max_voxels)
     counts = jax.ops.segment_sum(
         (keys_s != _INVALID_KEY).astype(jnp.int32), seg_ids, num_segments=max_voxels, indices_are_sorted=True
     )
@@ -216,7 +226,7 @@ def build_gaussian_voxels(
         seg_ids, num_segments=max_voxels, indices_are_sorted=True,
     )
     sums, counts, sq_sums = acc[:, :3], acc[:, 3], acc[:, 4:]
-    seg_keys = jax.ops.segment_max(keys_s, seg_ids, num_segments=max_voxels, indices_are_sorted=True)
+    seg_keys = _segment_keys(keys_s, seg_ids, max_voxels)
 
     cnt = jnp.clip(counts, 1.0, None)
     means = sums / cnt[:, None]
@@ -232,12 +242,18 @@ def build_gaussian_voxels(
         covs = floor_regularize(covs + 1e-9 * jnp.eye(3, dtype=covs.dtype))
 
     means = jnp.where(vmask[:, None], means, PAD_COORD)
+    # Cells failing min_points get the sentinel key IN THE MIDDLE of the
+    # ascending key sequence — the table must be re-sorted or the binary
+    # search misses every key after the first masked cell (this silently
+    # broke lookups whenever any cell was under-populated).
+    final_keys = jnp.where(vmask, seg_keys, _LOCAL_INVALID)
+    order2 = jnp.argsort(final_keys)
     return GaussianVoxels(
-        keys=jnp.where(vmask, seg_keys, _LOCAL_INVALID),
-        means=means,
-        covs=covs,
-        counts=counts,
-        mask=vmask,
+        keys=final_keys[order2],
+        means=means[order2],
+        covs=covs[order2],
+        counts=counts[order2],
+        mask=vmask[order2],
         resolution=jnp.asarray(resolution),
         origin=origin,
     )

@@ -66,7 +66,7 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
     counts = acc[:, 3]
     mean = acc[:, :3] / jnp.clip(counts[:, None], 1.0, None)
     cov = acc[:, 4:].reshape(-1, 3, 3) / jnp.clip(counts[:, None, None], 1.0, None)
-    seg_keys = jax.ops.segment_max(keys_s, seg, num_segments=max_voxels, indices_are_sorted=True)
+    seg_keys = voxelops._segment_keys(keys_s, seg, max_voxels)
     vmask = (counts > 0) & (seg_keys != _INVALID_KEY)
     return VgicpTarget(
         keys=jnp.where(vmask, seg_keys, _INVALID_KEY),

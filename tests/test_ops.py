@@ -151,6 +151,23 @@ class TestVoxel:
         _, found = voxel.lookup_voxels(gv, keys)
         assert not bool(jnp.any(found))
 
+    def test_min_points_masking_keeps_table_sorted(self):
+        """Cells failing min_points must not break the sorted key order the
+        binary-search lookup depends on (regression: a masked mid-sequence
+        cell turned every later lookup into a miss)."""
+        rng = np.random.default_rng(9)
+        # dense cluster (passes min_points) + isolated single points (fail)
+        dense = rng.normal(scale=0.2, size=(200, 3)) + np.array([5.0, 5.0, 0.0])
+        sparse = rng.uniform(-20, 20, (30, 3))
+        c = cloudlib.from_numpy(np.vstack([dense, sparse]).astype(np.float32), capacity=256)
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=128, min_points=6)
+        keys = np.asarray(gv.keys)
+        assert np.all(np.diff(keys.astype(np.int64)) >= 0), "table not sorted"
+        # every dense-cluster point must find its (valid) cell
+        qk = voxel.query_keys_for(gv, jnp.asarray(dense.astype(np.float32)), jnp.ones(len(dense), bool))
+        _, found = voxel.lookup_voxels(gv, qk)
+        assert float(jnp.mean(found.astype(jnp.float32))) > 0.95
+
 
 class TestFilters:
     def test_distance_filter(self):

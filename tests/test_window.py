@@ -133,3 +133,61 @@ class TestPredictionStatus:
             st.prediction_errors[0], np.linalg.inv(st.relative_pose) @ delta, atol=1e-9
         )
         assert st.prediction_error is not None  # back-compat accessor
+
+
+class TestDeviceOdometryMethods:
+    """Method coverage for the device-resident path: every reference
+    registration method drives the on-chip odometry (round-1 limitation:
+    DeviceOdometry/window were GICP-only)."""
+
+    def _run(self, method, resolution=1.0, n=5, tol=0.12, step=0.4):
+        world = make_world()
+        cfg = OdometryConfig(
+            keyframe_delta_trans=1.2,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(registration_method=method, reg_resolution=resolution),
+        )
+        odo = DeviceOdometry(cfg, max_voxels=2048)
+        errs = []
+        for i in range(n):
+            pose = np.eye(4)
+            pose[0, 3] = step * i
+            c = cloudlib.from_numpy(scan_at(world, pose, seed=i), capacity=2560)
+            est = np.asarray(odo.step(0.1 * i, c))
+            errs.append(abs(est[0, 3] - pose[0, 3]))
+        assert max(errs) < tol, (method, errs)
+
+    def test_vgicp_device(self):
+        self._run("FAST_VGICP", resolution=1.0, tol=0.15)
+
+    def test_ndt_device(self):
+        self._run("NDT_OMP", resolution=2.0, tol=0.25)
+
+    def test_icp_device(self):
+        self._run("ICP", tol=0.15)
+
+    def test_vgicp_window_matches_device(self):
+        """The VGICP windowed path (voxel target rebuilt inside the switch
+        lax.cond) must equal the per-frame device path."""
+        world = make_world()
+        cfg = OdometryConfig(
+            keyframe_delta_trans=0.9,  # force a mid-window switch
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(registration_method="FAST_VGICP", reg_resolution=1.0),
+        )
+        n = 5
+        scans = _drive_scans(world, n, step=0.4)
+        dev = DeviceOdometry(cfg, max_voxels=2048)
+        per_frame = []
+        for i in range(n):
+            c = cloudlib.from_numpy(scans[i], capacity=2560)
+            per_frame.append(np.asarray(dev.step(0.1 * i, c)))
+
+        win = OdometryWindow(cfg, max_voxels=2048)
+        state = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=2560))
+        xyz, mask = stack_scans(scans[1:], capacity=2560)
+        _, odoms, status = win.run(state, xyz, mask, 0.1 * np.arange(1, n))
+        odoms = np.asarray(jax.block_until_ready(odoms))
+        for i in range(1, n):
+            np.testing.assert_allclose(odoms[i - 1], per_frame[i], atol=1e-5)
+        assert bool(np.any(np.asarray(status["keyframe_switched"])))
