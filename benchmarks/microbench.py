@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, reps=20):
+def timeit(fn, *args, reps=100):
     """Honest device timing through the axon tunnel (PERF.md "Measurement
     discipline"): block_until_ready is not a reliable fence there and an
     identical re-dispatch can be short-circuited, so (a) all reps run inside
@@ -114,11 +114,11 @@ def main():
     data = g.freeze(dtype=jnp.float32)
 
     lin = jax.jit(lambda d: build_system(d))
-    dt = timeit(lin, data, reps=10)
+    dt = timeit(lin, data, reps=50)
     results.append({"metric": "graph_linearize_256pose_ms", "value": round(dt * 1e3, 3), "unit": "ms"})
 
     opt = jax.jit(lambda d: optimize(d, max_iterations=32))
-    dt = timeit(opt, data, reps=3)
+    dt = timeit(opt, data, reps=5)
     _, stats = opt(data)
     iters = int(stats.iterations)
     results.append(

@@ -109,7 +109,12 @@ def _optimize_impl(data: GraphData, max_iterations: int, axis_name=None, linear_
             # restrict to free dofs: zero fixed rows/cols, unit diagonal
             Hf = H * free_f[:, None] * free_f[None, :] + jnp.diag(1.0 - free_f)
             bf = b * free_f
-            dx = -jnp.linalg.solve(Hf + s.lam * jnp.diag(free_f), bf)
+            # damped system is SPD (H PSD from J^T W J with rho'>=0 kernels,
+            # + lam on the free diagonal, unit diagonal on fixed dofs):
+            # Cholesky beats the generic LU solve on the MXU
+            A = Hf + s.lam * jnp.diag(free_f)
+            L = jnp.linalg.cholesky(A)
+            dx = -jax.scipy.linalg.cho_solve((L, True), bf)
         data_new = apply_delta(s.data, dx)
         _, chi2_new = chi2_only(data_new, axis_name)
 
