@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def build_graph(n_poses=128, loops_every=16):
+def build_graph(n_poses=256, loops_every=16):
     import jax.numpy as jnp
 
     from hdl_graph_slam_tpu.graph import GraphBuilder

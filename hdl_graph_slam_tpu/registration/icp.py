@@ -32,16 +32,50 @@ class _IcpState(NamedTuple):
     num_inliers: jax.Array
 
 
+def procrustes_rotation(S):
+    """Umeyama-optimal rotation from the 3x3 cross-covariance S (maps
+    src-deviations to tgt-deviations): the R = V D U^T of PCL's SVD
+    solution, built from the closed-form symmetric eigensolver (ops/eig3)
+    instead of LAPACK SVD.
+
+    Why not jnp.linalg.svd: a 3x3 SVD inside the ICP while_loop reliably
+    SIGABRTs the TPU compiler (remote tpu_compile_helper) — and the closed
+    form fuses into the surrounding elementwise code anyway.
+
+    Construction: right singular vectors V from eig(S^T S) (descending
+    sigma), completed right-handed; left vectors u_i = S v_i normalized,
+    Gram-Schmidt + cross-product completion, so U is right-handed too. The
+    cross-product third column absorbs the Umeyama D = diag(1,1,det(UV))
+    reflection flip (it negates u3 exactly when det(S) < 0), and rank-2
+    cross-covariances (planar scans) stay well-defined."""
+    from ..ops.eig3 import _eigvec_for, eigvalsh3
+
+    dtype = S.dtype
+    StS = S.T @ S
+    lam = eigvalsh3(StS)  # ascending
+    v1 = _eigvec_for(StS, lam[2])
+    v3 = _eigvec_for(StS, lam[0])
+    v2 = jnp.cross(v3, v1)
+    v2 = v2 / jnp.clip(jnp.linalg.norm(v2), 1e-20, None)
+    v3 = jnp.cross(v1, v2)  # right-handed orthonormal [v1 v2 v3]
+    u1 = S @ v1
+    u1 = u1 / jnp.clip(jnp.linalg.norm(u1), 1e-20, None)
+    u2 = S @ v2
+    u2 = u2 - jnp.dot(u1, u2) * u1
+    u2 = u2 / jnp.clip(jnp.linalg.norm(u2), 1e-20, None)
+    u3 = jnp.cross(u1, u2)
+    V = jnp.stack([v1, v2, v3], axis=1).astype(dtype)
+    U = jnp.stack([u1, u2, u3], axis=1).astype(dtype)
+    return V @ U.T
+
+
 def _svd_rigid(src_pts, tgt_pts, w):
     """Weighted closed-form rigid transform src->tgt (Umeyama, no scale)."""
     wsum = jnp.clip(jnp.sum(w), 1e-12, None)
     mu_s = jnp.sum(src_pts * w[:, None], axis=0) / wsum
     mu_t = jnp.sum(tgt_pts * w[:, None], axis=0) / wsum
     S = ((src_pts - mu_s) * w[:, None]).T @ (tgt_pts - mu_t) / wsum
-    U, _, Vt = jnp.linalg.svd(S)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], S.dtype)).at[2, 2].set(d)
-    R = Vt.T @ D @ U.T
+    R = procrustes_rotation(S)
     t = mu_t - R @ mu_s
     T = jnp.eye(4, dtype=S.dtype)
     T = T.at[:3, :3].set(R)

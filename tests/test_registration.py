@@ -273,3 +273,33 @@ class TestNdtKdtreeMode:
         res = reg.align(cloudlib.from_numpy(pts))
         err = np.linalg.inv(np.asarray(res.transformation)) @ T_true
         assert np.linalg.norm(err[:3, 3]) < 0.15
+
+
+class TestProcrustesRotation:
+    def test_matches_svd_solution(self):
+        """The eig3-based Procrustes rotation (registration/icp.py — LAPACK
+        SVD crashes the TPU compiler inside while_loop) must match the SVD
+        R = V D U^T on random full-rank, reflected, and near-planar
+        cross-covariances."""
+        from hdl_graph_slam_tpu.registration.icp import procrustes_rotation
+
+        rng = np.random.default_rng(4)
+
+        def svd_ref(S):
+            U, _, Vt = np.linalg.svd(S)
+            d = np.sign(np.linalg.det(Vt.T @ U.T))
+            D = np.diag([1.0, 1.0, d])
+            return Vt.T @ D @ U.T
+
+        cases = []
+        for _ in range(20):
+            cases.append(rng.normal(size=(3, 3)))           # generic (half reflections)
+        for _ in range(5):
+            A = rng.normal(size=(3, 3))
+            A[:, 2] *= 1e-5                                 # near rank-2 (planar)
+            cases.append(A)
+        for S in cases:
+            R = np.asarray(procrustes_rotation(jnp.asarray(S)))
+            Rref = svd_ref(S)
+            assert abs(np.linalg.det(R) - 1.0) < 1e-6
+            np.testing.assert_allclose(R, Rref, atol=5e-4), S
