@@ -65,5 +65,17 @@ class KeyframeUpdater:
         self.prev_keypose = pose.copy()
         return True
 
+    def would_update(self, pose: np.ndarray) -> bool:
+        """Pure admission check (no state mutation) — lets callers defer the
+        expensive per-frame work (prefilter, floor detection) to frames that
+        will actually become keyframes (pipeline.run_windowed)."""
+        if self.is_first:
+            return True
+        delta = np.linalg.inv(self.prev_keypose) @ pose
+        dx = float(np.linalg.norm(delta[:3, 3]))
+        tr = np.clip((np.trace(delta[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        da = float(np.arccos(tr))
+        return dx >= self.keyframe_delta_trans or da >= self.keyframe_delta_angle
+
     def get_accum_distance(self) -> float:
         return self.accum_distance

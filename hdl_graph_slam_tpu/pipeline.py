@@ -165,6 +165,100 @@ class SlamPipeline:
             frames_per_second=n / wall if wall > 0 else 0.0,
         )
 
+    def run_windowed(
+        self,
+        frames: Iterable[Tuple[float, np.ndarray, Optional[np.ndarray]]],
+        window: int = 64,
+        raw_capacity: Optional[int] = None,
+    ) -> PipelineResult:
+        """Offline throughput mode: prefilter + odometry for ``window``
+        frames per device dispatch (frontend/window.py — the reference's
+        bag_player.py replay role at device speed), then the backend
+        consumes the per-frame results.
+
+        Identical odometry results to run() (same device step, scanned);
+        differences: IMU/robot-odometry init guesses are not injected inside
+        a window (offline replay rarely has them), and floor detection runs
+        only on frames the backend admits as keyframes (floor measurements
+        are keyframe-associated anyway, hdl_graph_slam_nodelet.cpp:470-511).
+        """
+        from .frontend.window import OdometryWindow, stack_scans
+
+        cap = raw_capacity or self.cloud_capacity * 2
+        win = OdometryWindow(
+            self.cfg.odometry, prefilter_cfg=self.cfg.prefilter, out_capacity=self.cloud_capacity
+        )
+        t0 = time.perf_counter()
+        n = 0
+        state = None
+        pending: list = []  # [(stamp, raw xyz)]
+
+        def flush_window():
+            nonlocal state, n
+            if not pending:
+                return
+            base = 0
+            if state is None:
+                # first frame bootstraps the keyframe (:166-174)
+                stamp0 = pending[0][0]
+                first = cloudlib.from_numpy(pending[0][1], capacity=cap)
+                state = win.init_state(stamp0, first)
+                self.odometry_trajectory.append((stamp0, np.eye(4)))
+                cloud0 = self.prefilter(first)
+                self.slam.add_frame(stamp0, np.eye(4), cloud0)
+                if self.floor is not None:
+                    coeffs = self.floor.detect(cloud0)
+                    if coeffs is not None:
+                        self.slam.add_floor(FloorMeasurement(stamp=stamp0, coeffs=coeffs))
+                n += 1
+                base = 1
+                if len(pending) == 1:
+                    pending.clear()
+                    return
+            stamps = np.asarray([s for s, _ in pending[base:]], dtype=np.float32)
+            xyz, mask = stack_scans([x for _, x in pending[base:]], capacity=cap)
+            state, odoms, _status = win.run(state, xyz, mask, stamps)
+            odoms = np.asarray(odoms, dtype=np.float64)
+            # feed the backend per frame; the expensive per-frame host work
+            # (prefilter for the stored keyframe cloud, floor detection) runs
+            # only for frames the KeyframeUpdater will admit
+            for i in range(len(stamps)):
+                stamp = float(stamps[i])
+                odom = odoms[i]
+                self.odometry_trajectory.append((stamp, odom))
+                n += 1
+                if not self.slam.keyframe_updater.would_update(odom):
+                    continue
+                cloud = self.prefilter(cloudlib.from_numpy(pending[base + i][1], capacity=cap))
+                self.slam.add_frame(stamp, odom, cloud)
+                if self.floor is not None:
+                    coeffs = self.floor.detect(cloud)
+                    if coeffs is not None:
+                        self.slam.add_floor(FloorMeasurement(stamp=stamp, coeffs=coeffs))
+            pending.clear()
+
+        for item in frames:
+            pending.append((float(item[0]), item[1]))
+            if len(pending) >= window:
+                flush_window()
+                if (
+                    self._last_optimize_stream_time is None
+                    or item[0] - self._last_optimize_stream_time >= self.cfg.backend.graph_update_interval
+                ):
+                    self.slam.optimize_cycle()
+                    self._last_optimize_stream_time = item[0]
+        flush_window()
+        self.finish()
+        wall = time.perf_counter() - t0
+        return PipelineResult(
+            trajectory=self.slam.trajectory(),
+            odometry_trajectory=self.odometry_trajectory,
+            num_frames=n,
+            num_keyframes=len(self.slam.keyframes),
+            wall_time_s=wall,
+            frames_per_second=n / wall if wall > 0 else 0.0,
+        )
+
 
 def frames_from_rosbag(path: str, points_topic: str = "/velodyne_points") -> Iterator:
     """Yield (stamp, xyz, intensity) from a bag (bag_player.py replacement)."""

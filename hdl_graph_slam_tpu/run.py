@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ref-poses", help="KITTI ground-truth poses for ATE/RPE")
     ap.add_argument("--trace", help="write per-stage timing summary JSON")
     ap.add_argument("--device-odometry", action="store_true", help="single-dispatch on-chip odometry (fastest on TPU)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="offline throughput mode: process N frames per device dispatch "
+                         "(frontend/window.py; fastest offline replay on TPU)")
     ap.add_argument("--cloud-capacity", type=int, default=16384, help="padded cloud capacity (power of two; match your sensor's post-filter density)")
     args = ap.parse_args(argv)
 
@@ -94,7 +97,10 @@ def main(argv=None) -> int:
 
         frames = itertools.islice(frames, args.max_frames)
 
-    result = pipe.run(frames)
+    if args.window > 0:
+        result = pipe.run_windowed(frames, window=args.window)
+    else:
+        result = pipe.run(frames)
     print(
         json.dumps(
             {

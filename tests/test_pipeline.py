@@ -521,3 +521,38 @@ class TestRobotOdometryInitGuess:
         # and odometry tracked the drive
         est = pipe.odometry_trajectory[-1][1]
         assert abs(est[0, 3] - 1.5) < 0.1
+
+
+class TestWindowedPipeline:
+    def test_run_windowed_matches_run(self, world):
+        """Offline throughput mode (run_windowed — the bag_player replay role
+        at device speed) must produce the same trajectory as the per-frame
+        run() within float tolerance."""
+        from hdl_graph_slam_tpu.pipeline import SlamPipeline
+
+        def mk():
+            cfg = SlamConfig()
+            cfg.prefilter.downsample_resolution = 0.4
+            cfg.prefilter.outlier_removal_method = "NONE"
+            cfg.odometry.keyframe_delta_trans = 1.0
+            cfg.odometry.keyframe_delta_time = 1e9
+            cfg.backend.keyframe_delta_trans = 1.0
+            cfg.backend.graph_update_interval = 3.0
+            cfg.floor.enabled = True
+            cfg.floor.sensor_height = 1.8
+            cfg.floor.floor_pts_thresh = 50
+            return cfg
+
+        poses = drive_square(side=4.0, step=1.0)[:9]
+        frames = [(float(i), scan_at(world, p, seed=i, n_keep=3000), None) for i, p in enumerate(poses)]
+
+        r_seq = SlamPipeline(mk(), cloud_capacity=4096, device_odometry=True).run(list(frames))
+        r_win = SlamPipeline(mk(), cloud_capacity=4096).run_windowed(list(frames), window=4)
+
+        assert r_win.num_frames == r_seq.num_frames == 9
+        assert r_win.num_keyframes == r_seq.num_keyframes
+        for (s1, T1), (s2, T2) in zip(r_seq.trajectory, r_win.trajectory):
+            assert s1 == s2
+            np.testing.assert_allclose(T1, T2, atol=2e-3)
+        for (s1, T1), (s2, T2) in zip(r_seq.odometry_trajectory, r_win.odometry_trajectory):
+            np.testing.assert_allclose(T1, T2, atol=1e-4)
