@@ -61,6 +61,7 @@ def write_bag(path, frames):
         f.write(_record(chunk_hdr, chunk_payload))
 
 
+@pytest.mark.slow
 def test_cli_bag_run(tmp_path):
     world = make_world()
     poses = drive_square(side=4.0, step=1.0)[:8]

@@ -126,6 +126,7 @@ class TestFloorPipeline:
         assert det.detect(cloudlib.from_numpy(scan, capacity=256)) is None
 
 
+@pytest.mark.slow
 class TestFullSlam:
     def test_square_loop_slam(self, world):
         """Drive a square; the backend must build a graph, detect the loop
@@ -311,6 +312,7 @@ class TestPersistence:
         assert xyz.shape[0] > 100
 
 
+@pytest.mark.slow
 class TestOfflinePipeline:
     def test_run_synthetic(self, world):
         from hdl_graph_slam_tpu.pipeline import SlamPipeline
@@ -373,6 +375,7 @@ class TestOfflinePipeline:
         assert len(pipe.slam.keyframes) >= 6
 
 
+@pytest.mark.slow
 class TestAsyncBackend:
     def test_async_optimize_runs_concurrently(self, world):
         import time as _time
@@ -523,6 +526,7 @@ class TestRobotOdometryInitGuess:
         assert abs(est[0, 3] - 1.5) < 0.1
 
 
+@pytest.mark.slow
 class TestWindowedPipeline:
     def test_run_windowed_matches_run(self, world):
         """Offline throughput mode (run_windowed — the bag_player replay role

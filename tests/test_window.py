@@ -4,6 +4,7 @@ the same device_step_impl, only scanned — and the status fields must carry
 the ScanMatchingStatus parity data (prediction errors per guess source)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -24,6 +25,7 @@ def _drive_scans(world, n, step=0.4):
     return scans
 
 
+@pytest.mark.slow
 class TestOdometryWindow:
     def test_matches_per_frame_device_path(self):
         world = make_world()
@@ -135,6 +137,7 @@ class TestPredictionStatus:
         assert st.prediction_error is not None  # back-compat accessor
 
 
+@pytest.mark.slow
 class TestDeviceOdometryMethods:
     """Method coverage for the device-resident path: every reference
     registration method drives the on-chip odometry (round-1 limitation:
