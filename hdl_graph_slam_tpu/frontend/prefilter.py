@@ -24,6 +24,14 @@ def make_prefilter_fn(cfg: PrefilterConfig, out_capacity: int):
     """Pure (traceable) prefilter chain for ``cfg``: can be jitted standalone
     (Prefilter below) or inlined into a larger program (frontend/window.py)."""
 
+    # Static routing: after the distance filter, every point lies within
+    # distance_far_thresh of the base origin, so if 2*far/res (+slack) fits
+    # the 1024-cell local grid the downsample can use native int32 keys
+    # (no emulated int64 sort, no x64 requirement) with bit-identical output.
+    use_local_keys = cfg.use_distance_filter and voxel.local_grid_fits(
+        2.0 * cfg.distance_far_thresh, cfg.downsample_resolution
+    )
+
     def run(cloud: PointCloud, base_to_sensor, ang_vel) -> PointCloud:
         if cfg.deskewing:
             cloud = filters.deskew(cloud, ang_vel, cfg.scan_period)
@@ -34,7 +42,8 @@ def make_prefilter_fn(cfg: PrefilterConfig, out_capacity: int):
             # ApproximateVoxelGrid differs from VoxelGrid only in hashing
             # approximations PCL makes for speed; the exact centroid grid
             # serves both (it is not slower here).
-            cloud = voxel.voxel_downsample(cloud, cfg.downsample_resolution, max_voxels=out_capacity)
+            downsample = voxel.voxel_downsample_local if use_local_keys else voxel.voxel_downsample
+            cloud = downsample(cloud, cfg.downsample_resolution, max_voxels=out_capacity)
         else:
             cloud = cloudlib.compact(cloud, capacity=out_capacity)
         if cfg.outlier_removal_method == "STATISTICAL":

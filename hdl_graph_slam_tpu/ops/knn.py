@@ -57,9 +57,13 @@ def nn1(query: jax.Array, target: jax.Array, chunk: int = 512) -> Tuple[jax.Arra
     def one_chunk(qc):
         qcc = qc - center
         # (chunk, M) distances via the MXU-friendly expansion; a plain
-        # min/argmin reduce beats top_k by a wide margin on TPU
+        # min/argmin reduce beats top_k by a wide margin on TPU. The argmin
+        # is spelled as min + int32-iota select so the index stays int32
+        # even under x64 (jnp.argmin would emit emulated-int64 indices).
         d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
-        idx = jnp.argmin(d, axis=-1)
+        dmin = jnp.min(d, axis=-1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+        idx = jnp.min(jnp.where(d <= dmin, cols, jnp.int32(2**30)), axis=-1)
         # exact squared distance for the selected neighbor
         diff = qc - target[idx]
         dist2 = jnp.sum(diff * diff, axis=-1)

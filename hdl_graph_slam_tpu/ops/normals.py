@@ -3,7 +3,7 @@
 Used by the floor-detection normal prefilter (apps/floor_detection_nodelet.cpp:
 211-238: k=10, viewpoint (0,0,sensor_height), verticality gate) and available
 for GICP-style surface modeling. Batched: one covariance eigen-solve per
-point via vmapped closed-form 3x3 eigendecomposition (jnp.linalg.eigh).
+point via the closed-form 3x3 eigendecomposition (ops/eig3.py — no LAPACK).
 """
 
 from __future__ import annotations

@@ -8,8 +8,13 @@ O(N + M) per query tile row. Grid: (query_tiles, target_tiles), target
 innermost so the output block accumulates across the sweep (canonical TPU
 revisiting pattern).
 
-Layout: query as (N, 3) blocks, target transposed to (3, M) so the distance
-tile is one MXU dot; argmin via broadcasted iota + min-select.
+Layout: the distance expansion is folded into ONE MXU matmul by augmenting
+the coordinates — query rows are [qx, qy, qz, 1, 0, 0, 0, 0] and target
+columns are [-2*tx, -2*ty, -2*tz, |t|^2, 0, 0, 0, 0]^T, so
+dot(q_aug, t_aug) = |t|^2 - 2 q.t (the |q|^2 term is argmin-invariant).
+The 8-row contraction dim keeps every block shape at TPU-native tile
+multiples (f32 sublane 8 / lane 128) — narrower 3-row blocks crashed the
+remote TPU compiler.
 """
 
 from __future__ import annotations
@@ -25,12 +30,11 @@ _TQ = 256  # query rows per program
 _TM = 2048  # target cols per program
 
 
-def _nn_kernel(q_ref, t_ref, tn_ref, bd_ref, bi_ref):
+def _nn_kernel(q_ref, t_ref, bd_ref, bi_ref):
     j = pl.program_id(1)
-    q = q_ref[:, :]  # (TQ, 3)
-    t = t_ref[:, :]  # (3, TM)
-    tn = tn_ref[:, :]  # (1, TM)
-    d = tn - 2.0 * jnp.dot(q, t, preferred_element_type=jnp.float32)  # (TQ, TM)
+    q = q_ref[:, :]  # (TQ, 8) augmented query
+    t = t_ref[:, :]  # (8, TM) augmented target
+    d = jnp.dot(q, t, preferred_element_type=jnp.float32)  # (TQ, TM) = |t|^2 - 2 q.t
     local_min = jnp.min(d, axis=1)  # (TQ,)
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
     big = jnp.int32(2**30)
@@ -53,8 +57,8 @@ def _nn_kernel(q_ref, t_ref, tn_ref, bd_ref, bi_ref):
         bi_ref[:, :] = jnp.broadcast_to(new_i[None, :], bi_ref.shape)
 
 
-@partial(jax.jit, static_argnames=())
-def nn1_pallas(query: jax.Array, target: jax.Array) -> Tuple[jax.Array, jax.Array]:
+@partial(jax.jit, static_argnames=("interpret",))
+def nn1_pallas(query: jax.Array, target: jax.Array, interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Exact 1-NN indices + exact squared distances via the fused kernel.
 
     query (N,3), target (M,3) float32; N, M padded internally to tile
@@ -71,21 +75,29 @@ def nn1_pallas(query: jax.Array, target: jax.Array) -> Tuple[jax.Array, jax.Arra
 
     n_pad = (-n) % _TQ
     m_pad = (-m) % _TM
-    q = jnp.pad(query - center, ((0, n_pad), (0, 0)))
-    t = jnp.pad(target - center, ((0, m_pad), (0, 0)), constant_values=2.0e6)
-    tn = jnp.sum(t * t, axis=-1)[None, :]  # (1, M')
-    t_T = t.T  # (3, M')
+    qc = jnp.pad(query - center, ((0, n_pad), (0, 0)))
+    tc = jnp.pad(target - center, ((0, m_pad), (0, 0)), constant_values=2.0e6)
 
-    n_q_tiles = q.shape[0] // _TQ
-    n_t_tiles = t_T.shape[1] // _TM
+    # augmented 8-row layout: one MXU matmul produces |t|^2 - 2 q.t
+    nq = qc.shape[0]
+    mq = tc.shape[0]
+    q_aug = jnp.concatenate(
+        [qc, jnp.ones((nq, 1), jnp.float32), jnp.zeros((nq, 4), jnp.float32)], axis=1
+    )
+    tn = jnp.sum(tc * tc, axis=-1)
+    t_aug = jnp.concatenate(
+        [-2.0 * tc.T, tn[None, :], jnp.zeros((4, mq), jnp.float32)], axis=0
+    )
+
+    n_q_tiles = nq // _TQ
+    n_t_tiles = mq // _TM
 
     bd, bi = pl.pallas_call(
         _nn_kernel,
         grid=(n_q_tiles, n_t_tiles),
         in_specs=[
-            pl.BlockSpec((_TQ, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((3, _TM), lambda i, j: (0, j)),
-            pl.BlockSpec((1, _TM), lambda i, j: (0, j)),
+            pl.BlockSpec((_TQ, 8), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, _TM), lambda i, j: (0, j)),
         ],
         out_specs=[
             pl.BlockSpec((8, _TQ), lambda i, j: (0, i)),
@@ -95,7 +107,8 @@ def nn1_pallas(query: jax.Array, target: jax.Array) -> Tuple[jax.Array, jax.Arra
             jax.ShapeDtypeStruct((8, n_q_tiles * _TQ), jnp.float32),
             jax.ShapeDtypeStruct((8, n_q_tiles * _TQ), jnp.int32),
         ],
-    )(q, t_T, tn)
+        interpret=interpret,
+    )(q_aug, t_aug)
 
     idx = bi[0, :n]
     idx = jnp.clip(idx, 0, m - 1)

@@ -96,6 +96,38 @@ def key_to_center(key: jax.Array, resolution) -> jax.Array:
     return (ijk + 0.5) * resolution
 
 
+def sort_with_order(keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(sorted_keys, permutation) with an int32 permutation payload.
+
+    Under x64 jnp.argsort carries emulated-int64 indices through the TPU
+    sort; pairing the keys with an explicit int32 iota keeps the payload
+    native-width regardless of the x64 flag."""
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    keys_s, order = jax.lax.sort((keys, iota), num_keys=1)
+    return keys_s, order
+
+
+def searchsorted32(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
+    """Vectorized binary search (side='left') with all-int32 index math.
+
+    jnp.searchsorted promotes its index arithmetic to int64 under x64 —
+    emulated on TPU and sitting in the NDT/VGICP per-iteration lookup path.
+    Semantics match jnp.searchsorted(sorted_keys, queries, side='left')."""
+    import math
+
+    n = sorted_keys.shape[0]
+    steps = max(1, math.ceil(math.log2(n + 1)))
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        go_right = sorted_keys[jnp.clip(mid, 0, n - 1)] < queries
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & jnp.logical_not(go_right), mid, hi)
+    return lo
+
+
 def _segment_ids_from_sorted_keys(keys_sorted: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Dense segment ids for a sorted key array + is-segment-start flags."""
     starts = jnp.concatenate(
@@ -111,29 +143,20 @@ def _segment_keys(keys_s: jax.Array, seg_ids: jax.Array, max_segments: int) -> j
     are equal. Slots past the last segment gather an arbitrary key — callers
     mask those via their count==0 / sentinel-key checks."""
     n = keys_s.shape[0]
-    start = jnp.searchsorted(seg_ids, jnp.arange(max_segments, dtype=seg_ids.dtype))
+    start = searchsorted32(seg_ids, jnp.arange(max_segments, dtype=jnp.int32))
     return keys_s[jnp.clip(start, 0, n - 1)]
 
 
-@partial(jax.jit, static_argnames=("max_voxels",))
-def voxel_downsample(cloud: PointCloud, resolution, max_voxels: int) -> PointCloud:
-    """Centroid voxel-grid downsample (pcl::VoxelGrid semantics).
-
-    Returns a cloud of capacity ``max_voxels`` whose valid points are the
-    centroids of occupied voxels, ordered by voxel key (deterministic).
-    Overflow policy: if there are more occupied voxels than ``max_voxels``
-    the lowest-key voxels win (stable, deterministic).
-    """
-    keys = voxel_keys(cloud.xyz, cloud.mask, resolution)
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
-    xyz_s = jnp.where((keys_s != _INVALID_KEY)[:, None], cloud.xyz[order], 0.0)
+def _downsample_from_keys(cloud: PointCloud, keys: jax.Array, invalid_key, max_voxels: int) -> PointCloud:
+    """Shared centroid-downsample body: sort by key, fused segment sums."""
+    keys_s, order = sort_with_order(keys)
+    xyz_s = jnp.where((keys_s != invalid_key)[:, None], cloud.xyz[order], 0.0)
     inten_s = None
     if cloud.intensity is not None:
-        inten_s = jnp.where(keys_s != _INVALID_KEY, cloud.intensity[order], 0.0)
+        inten_s = jnp.where(keys_s != invalid_key, cloud.intensity[order], 0.0)
 
     seg_ids, _ = _segment_ids_from_sorted_keys(keys_s)
-    valid_s = keys_s != _INVALID_KEY
+    valid_s = keys_s != invalid_key
 
     # one fused sorted scatter for every per-voxel sum (xyz, count, intensity)
     payload = [xyz_s, valid_s.astype(xyz_s.dtype)[:, None]]
@@ -146,13 +169,50 @@ def voxel_downsample(cloud: PointCloud, resolution, max_voxels: int) -> PointClo
     # representative key per segment (all equal within a segment)
     seg_keys = _segment_keys(keys_s, seg_ids, max_voxels)
 
-    out_mask = (counts > 0) & (seg_keys != _INVALID_KEY)
+    out_mask = (counts > 0) & (seg_keys != invalid_key)
     centroids = sums / jnp.clip(counts[:, None], 1.0, None)
     centroids = jnp.where(out_mask[:, None], centroids, PAD_COORD)
     out_inten = None
     if inten_s is not None:
         out_inten = jnp.where(out_mask, acc[:, 4] / jnp.clip(counts, 1.0, None), 0.0)
     return PointCloud(xyz=centroids, mask=out_mask, intensity=out_inten)
+
+
+@partial(jax.jit, static_argnames=("max_voxels",))
+def voxel_downsample(cloud: PointCloud, resolution, max_voxels: int) -> PointCloud:
+    """Centroid voxel-grid downsample (pcl::VoxelGrid semantics).
+
+    Returns a cloud of capacity ``max_voxels`` whose valid points are the
+    centroids of occupied voxels, ordered by voxel key (deterministic).
+    Overflow policy: if there are more occupied voxels than ``max_voxels``
+    the lowest-key voxels win (stable, deterministic).
+    """
+    keys = voxel_keys(cloud.xyz, cloud.mask, resolution)
+    return _downsample_from_keys(cloud, keys, _INVALID_KEY, max_voxels)
+
+
+def local_grid_fits(extent: float, resolution: float) -> bool:
+    """Static check: does a cloud spanning at most ``extent`` meters per axis
+    fit the 1024^3 int32 local grid at ``resolution``? (+2 cells of slack for
+    the floor() boundary cells on both ends.)"""
+    return extent / float(resolution) + 2.0 < float(_LOCAL_RANGE)
+
+
+@partial(jax.jit, static_argnames=("max_voxels",))
+def voxel_downsample_local(cloud: PointCloud, resolution, max_voxels: int) -> PointCloud:
+    """voxel_downsample with int32 local (min-corner-anchored) keys.
+
+    Identical output to voxel_downsample — same centroids in the same
+    deterministic key order (the local re-key is a monotone shift) — but the
+    sort/segment machinery runs on native int32 instead of emulated int64,
+    and no x64 mode is required. Only valid when the cloud's per-axis extent
+    fits the 1024-cell local grid (check statically with local_grid_fits;
+    e.g. after a distance filter, extent = 2 * distance_far_thresh). Points
+    outside the grid would be silently dropped, hence the static gate.
+    """
+    origin = local_origin(cloud.xyz, cloud.mask, resolution)
+    keys = pack_local_keys(local_cells(cloud.xyz, resolution), origin, cloud.mask)
+    return _downsample_from_keys(cloud, keys, _LOCAL_INVALID, max_voxels)
 
 
 @partial(jax.jit, static_argnames=("max_voxels",))
@@ -214,8 +274,7 @@ def build_gaussian_voxels(
     """
     origin = local_origin(cloud.xyz, cloud.mask, resolution)
     keys = pack_local_keys(local_cells(cloud.xyz, resolution), origin, cloud.mask)
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
+    keys_s, order = sort_with_order(keys)
     valid_s = keys_s != _LOCAL_INVALID
     xyz_s = jnp.where(valid_s[:, None], cloud.xyz[order], 0.0)
 
@@ -246,15 +305,17 @@ def build_gaussian_voxels(
     # ascending key sequence — the table must be re-sorted or the binary
     # search misses every key after the first masked cell (this silently
     # broke lookups whenever any cell was under-populated).
-    final_keys = jnp.where(vmask, seg_keys, _LOCAL_INVALID)
-    order2 = jnp.argsort(final_keys)
+    final_keys, order2 = sort_with_order(jnp.where(vmask, seg_keys, _LOCAL_INVALID))
     return GaussianVoxels(
-        keys=final_keys[order2],
+        keys=final_keys,
         means=means[order2],
         covs=covs[order2],
         counts=counts[order2],
         mask=vmask[order2],
-        resolution=jnp.asarray(resolution),
+        # cast to the cloud dtype: under x64 a bare asarray(python_float) is
+        # STRONG f64 and poisons every downstream local_cells division (the
+        # whole NDT/VGICP align loop) into emulated-f64 TPU code (~20x slower)
+        resolution=jnp.asarray(resolution, dtype=cloud.xyz.dtype),
         origin=origin,
     )
 
@@ -263,9 +324,9 @@ def lookup_voxels(voxels: GaussianVoxels, query_keys: jax.Array) -> Tuple[jax.Ar
     """Binary-search int32 local query keys in the sorted voxel key table.
 
     Returns (index, found) per query. Replaces ndt_omp's kd-tree / DIRECT
-    voxel neighbor lookup with a branch-free searchsorted.
+    voxel neighbor lookup with a branch-free int32 binary search.
     """
-    idx = jnp.searchsorted(voxels.keys, query_keys)
+    idx = searchsorted32(voxels.keys, query_keys)
     idx = jnp.clip(idx, 0, voxels.keys.shape[0] - 1)
     found = (voxels.keys[idx] == query_keys) & voxels.mask[idx] & (query_keys != _LOCAL_INVALID)
     return idx, found

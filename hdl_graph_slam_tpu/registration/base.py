@@ -92,7 +92,11 @@ def lm_loop(
     def body(s: LMState):
         corr = associate(s.T)
         H, b, cost, ninl = linearize_at(s.T, corr)
-        d = -jnp.linalg.solve(H + s.lam * eye6, b)
+        # damped system is SPD by construction: unrolled 6x6 Cholesky beats
+        # the generic LU-with-pivoting lowering of jnp.linalg.solve on TPU
+        from ..ops.small_solve import solve_spd
+
+        d = -solve_spd(H + s.lam * eye6, b)
         delta = se3.se3_exp(d)
         T_new = delta @ s.T
         cost_new = cost_at(T_new, corr)

@@ -110,8 +110,8 @@ def align(
             back_idx, _ = knn.nn1(tgt_q, moved_q)
             valid = valid & (back_idx[idx] == jnp.arange(src.xyz.shape[0]))
         w = valid.astype(dtype)
-        T_new = _svd_rigid(moved, tgt.xyz[idx], w) @ s.T
-        delta = T_new @ jnp.linalg.inv(s.T)
+        delta = _svd_rigid(moved, tgt.xyz[idx], w)  # the incremental transform
+        T_new = delta @ s.T
         err = jnp.sum(jnp.where(valid, d2, 0.0)) / jnp.clip(jnp.sum(w), 1.0, None)
         conv = se3_delta_converged(delta, transformation_epsilon)
         ninl = jnp.sum(valid.astype(jnp.int32)).astype(jnp.int32)

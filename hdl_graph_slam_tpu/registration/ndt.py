@@ -53,8 +53,10 @@ def preprocess_target(
     outlier_ratio=0.55,
 ) -> NdtTarget:
     """Build the Gaussian cell grid + mixture constants (PCL NDT init)."""
+    from .gicp import _inv3x3  # closed-form batched 3x3 inverse (no LAPACK LU)
+
     gv = voxelops.build_gaussian_voxels(cloud, resolution, max_voxels, min_points=6, regularize="ndt")
-    icovs = jnp.linalg.inv(gv.covs + 1e-6 * jnp.eye(3, dtype=gv.covs.dtype))
+    icovs = _inv3x3(gv.covs + 1e-6 * jnp.eye(3, dtype=gv.covs.dtype))
     icovs = jnp.where(gv.mask[:, None, None], icovs, 0.0)
     # PCL NormalDistributionsTransform::init gaussian mixture constants
     res = jnp.asarray(resolution, dtype=cloud.xyz.dtype)
@@ -129,6 +131,13 @@ def score_derivatives(d1, d2, moved0, mask, means, icovs, found):
     where S_ab = sum_m a_m d2 q_m/ddelta_a ddelta_b has blocks
       S_vv = 0, S_vw = 0.5 hat(a), S_wv = S_vw^T,
       S_ww = 0.5 (a p^T + p a^T) - (a.p) I.
+
+    Implementation: since J, hat(p) depend only on the point (not the
+    neighbor cell k), every E-weighted sum over k collapses to four
+    per-point moments — Σ_k E, ã = Σ_k E a, Ã = Σ_k E a aᵀ, B̃ = Σ_k E B —
+    followed by 3x3 block algebra with hat(p). No (N, K, 6, 6) temporaries
+    are ever materialized (the naive einsum form lowered to ~13 ms/call on
+    TPU; this form is bandwidth-bound on the (N, K, 3, 3) icovs read).
     """
     dtype = moved0.dtype
     p = moved0  # (N, 3)
@@ -138,26 +147,44 @@ def score_derivatives(d1, d2, moved0, mask, means, icovs, found):
     wgt = (found & mask[:, None]).astype(dtype)
     E = d1 * jnp.exp(-0.5 * d2 * u) * wgt  # weighted per-term score (N, K)
 
-    pxa = jnp.cross(jnp.broadcast_to(p[:, None, :], a.shape), a)
-    g_ik = jnp.concatenate([a, pxa], axis=-1)  # J^T a (N, K, 6)
-    grad = -d2 * jnp.einsum("nk,nke->e", E, g_ik)
+    # per-point moments over the K neighbor cells
+    ea = jnp.einsum("nk,nki->ni", E, a)  # ã
+    eaa = jnp.einsum("nk,nki,nkj->nij", E, a, a)  # Ã
+    eB = jnp.einsum("nk,nkij->nij", E, icovs)  # B̃
 
-    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (p.shape[0], 3, 3))
-    J = jnp.concatenate([eye3, -se3.hat(p)], axis=-1)  # (N, 3, 6)
-    JtBJ = jnp.einsum("nma,nkmp,npb->nkab", J, icovs, J)  # (N, K, 6, 6)
+    grad = -d2 * jnp.concatenate([jnp.sum(ea, axis=0), jnp.sum(jnp.cross(p, ea), axis=0)])
 
-    # curvature-of-the-transform term S (N, K, 6, 6)
-    hat_a = se3.hat(a)  # (N, K, 3, 3)
-    adotp = jnp.einsum("nki,ni->nk", a, p)
-    ap = a[..., :, None] * p[:, None, None, :]  # a_a' p_b' (N, K, 3, 3)
-    S_ww = 0.5 * (ap + jnp.swapaxes(ap, -1, -2)) - adotp[..., None, None] * jnp.eye(3, dtype=dtype)
-    S = jnp.zeros(JtBJ.shape, dtype)
-    S = S.at[..., :3, 3:].set(0.5 * hat_a)
-    S = S.at[..., 3:, :3].set(0.5 * jnp.swapaxes(hat_a, -1, -2))
-    S = S.at[..., 3:, 3:].set(S_ww)
+    Hp = se3.hat(p)  # (N, 3, 3)
+    mm = lambda x, y: jnp.einsum("nab,nbc->nac", x, y)
+    AHp = mm(eaa, Hp)
+    HpA = mm(Hp, eaa)
+    HpAHp = mm(HpA, Hp)
+    BHp = mm(eB, Hp)
+    HpB = mm(Hp, eB)
+    HpBHp = mm(HpB, Hp)
+    hat_ea = se3.hat(ea)
+    eapt = ea[:, :, None] * p[:, None, :]
+    eadp = jnp.einsum("ni,ni->n", ea, p)
 
-    core = -d2 * g_ik[..., :, None] * g_ik[..., None, :] + JtBJ + S
-    H = -d2 * jnp.einsum("nk,nkab->ab", E, core)
+    # core = -d2 (g gᵀ) + JᵀBJ + S, summed over k, as 3x3 blocks:
+    #   g gᵀ   = [[Ã, -Ã Hp], [Hp Ã, -Hp Ã Hp]]      (g = [a; hat(p) a])
+    #   JᵀBJ   = [[B̃, -B̃ Hp], [Hp B̃, -Hp B̃ Hp]]     (J = [I | -hat(p)])
+    #   S      = [[0, 0.5 hat(ã)], [-0.5 hat(ã), 0.5(ã pᵀ + p ãᵀ) - (ã·p) I]]
+    C_vv = -d2 * eaa + eB
+    C_vw = -d2 * (-AHp) + (-BHp) + 0.5 * hat_ea
+    C_wv = -d2 * HpA + HpB - 0.5 * hat_ea
+    C_ww = (
+        -d2 * (-HpAHp)
+        + (-HpBHp)
+        + 0.5 * (eapt + jnp.swapaxes(eapt, -1, -2))
+        - eadp[:, None, None] * jnp.eye(3, dtype=dtype)
+    )
+    H = -d2 * jnp.block(
+        [
+            [jnp.sum(C_vv, axis=0), jnp.sum(C_vw, axis=0)],
+            [jnp.sum(C_wv, axis=0), jnp.sum(C_ww, axis=0)],
+        ]
+    )
     return grad, H
 
 
@@ -169,7 +196,10 @@ class _NewtonState(NamedTuple):
     num_inliers: jax.Array
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "nn_search_method", "num_line_search"))
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "nn_search_method", "num_line_search", "line_search_fixed_cells"),
+)
 def align(
     tgt: NdtTarget,
     src: PointCloud,
@@ -179,8 +209,21 @@ def align(
     step_size=0.1,
     nn_search_method: str = "DIRECT7",
     num_line_search: int = 10,
+    line_search_fixed_cells: bool = True,
 ) -> AlignResult:
-    """Newton-optimize the NDT mixture score from ``guess``."""
+    """Newton-optimize the NDT mixture score from ``guess``.
+
+    line_search_fixed_cells=True (default): line-search trials score against
+    the cell association of the CURRENT pose (one gather per iteration) and
+    only the winning candidate is re-scored with a fresh association, which
+    gates acceptance — trial steps are bounded by step_size (0.1 m), far
+    below the cell size, so membership changes between trials are rare and
+    the fresh re-score catches the case where they matter. PCL's
+    More-Thuente search re-associates every trial evaluation
+    (ndt.hpp computeStepLengthMT); pass False for that trial-exact parity
+    (DIRECT7 cost scales with the trial count: ~11 cell gathers per Newton
+    iteration instead of 2).
+    """
     if nn_search_method.upper() == "KDTREE":
         gather = lambda pts, mask: _gather_cells_kdtree(tgt, pts, mask)
     else:
@@ -218,7 +261,9 @@ def align(
         min_eval = evals[0]
         margin = 1e-3 * jnp.maximum(jnp.max(jnp.abs(evals)), 1.0)
         H = H + jnp.where(min_eval < margin, (margin - min_eval), 0.0) * jnp.eye(6, dtype=dtype)
-        d = -jnp.linalg.solve(H, g)
+        from ..ops.small_solve import solve_spd
+
+        d = -solve_spd(H, g)  # PD after the correction above
         # guaranteed descent: fall back to steepest descent if the solve
         # still produced an ascent direction numerically
         d = jnp.where(jnp.dot(g, d) < 0.0, d, -g)
@@ -229,15 +274,30 @@ def align(
         base = jnp.minimum(dnorm, step_size)
         alphas = base * (0.5 ** jnp.arange(num_line_search, dtype=dtype))
 
-        def trial(alpha):
-            T = se3.se3_exp(alpha * ddir) @ s.T
-            moved = se3.transform_points(T, src_xyz)
-            i2, f2 = gather(moved, src_mask)
-            return _score(tgt, moved, src_mask, tgt.voxels.means[i2], tgt.icovs[i2], f2)
+        if line_search_fixed_cells:
+            # trials reuse the association gathered for the derivatives
+            def trial(alpha):
+                T = se3.se3_exp(alpha * ddir) @ s.T
+                moved = se3.transform_points(T, src_xyz)
+                return _score(tgt, moved, src_mask, means, icovs, found)
 
-        trial_scores = jax.vmap(trial)(alphas)
-        best = jnp.argmin(trial_scores)
-        best_score = trial_scores[best]
+            trial_scores = jax.vmap(trial)(alphas)
+            best = jnp.argmin(trial_scores)
+            T_best = se3.se3_exp(alphas[best] * ddir) @ s.T
+            # one fresh re-association of the winning candidate gates the
+            # accept, so s.score always carries re-associated scores
+            best_score, _ = full_score(T_best)
+        else:
+            def trial(alpha):
+                T = se3.se3_exp(alpha * ddir) @ s.T
+                moved = se3.transform_points(T, src_xyz)
+                i2, f2 = gather(moved, src_mask)
+                return _score(tgt, moved, src_mask, tgt.voxels.means[i2], tgt.icovs[i2], f2)
+
+            trial_scores = jax.vmap(trial)(alphas)
+            best = jnp.argmin(trial_scores)
+            best_score = trial_scores[best]
+
         improve = best_score < s.score
         alpha = jnp.where(improve, alphas[best], 0.0)
         T_new = se3.se3_exp(alpha * ddir) @ s.T

@@ -51,8 +51,7 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
     gc = gicp_preprocess(cloud, k=k)
     origin = voxelops.local_origin(cloud.xyz, cloud.mask, resolution)
     keys = voxelops.pack_local_keys(voxelops.local_cells(cloud.xyz, resolution), origin, cloud.mask)
-    order = jnp.argsort(keys)
-    keys_s = keys[order]
+    keys_s, order = voxelops.sort_with_order(keys)
     valid_s = keys_s != _INVALID_KEY
     xyz_s = jnp.where(valid_s[:, None], cloud.xyz[order], 0.0)
     covs_s = jnp.where(valid_s[:, None, None], gc.covs[order], 0.0)
@@ -73,14 +72,16 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
         means=jnp.where(vmask[:, None], mean, PAD_COORD),
         covs=cov,
         mask=vmask,
-        resolution=jnp.asarray(resolution),
+        # cloud dtype, NOT bare asarray: under x64 that is strong f64 and
+        # poisons the per-iteration local_cells division into emulated f64
+        resolution=jnp.asarray(resolution, dtype=cloud.xyz.dtype),
         origin=origin,
     )
 
 
 def _correspond(tgt: VgicpTarget, moved: jax.Array, mask: jax.Array):
     keys = voxelops.pack_local_keys(voxelops.local_cells(moved, tgt.resolution), tgt.origin, mask)
-    idx = jnp.clip(jnp.searchsorted(tgt.keys, keys), 0, tgt.keys.shape[0] - 1)
+    idx = jnp.clip(voxelops.searchsorted32(tgt.keys, keys), 0, tgt.keys.shape[0] - 1)
     found = (tgt.keys[idx] == keys) & tgt.mask[idx] & mask
     return idx, found
 

@@ -141,6 +141,53 @@ class TestVoxel:
         vals = np.asarray(nk[0]).tolist()
         assert len(set(vals)) == 7
 
+    def test_searchsorted32_matches_jnp(self):
+        """The unrolled int32 binary search must match jnp.searchsorted
+        (side='left') on sorted arrays with duplicates, sentinels, and
+        out-of-range queries — it replaces it in every align-loop lookup."""
+        rng = np.random.default_rng(23)
+        for n in (1, 7, 256, 1000):
+            a = np.sort(rng.integers(-50, 50, n).astype(np.int32))
+            q = rng.integers(-60, 60, 500).astype(np.int32)
+            got = np.asarray(voxel.searchsorted32(jnp.asarray(a), jnp.asarray(q)))
+            want = np.searchsorted(a, q, side="left")
+            np.testing.assert_array_equal(got, want)
+
+    def test_local_downsample_matches_global(self):
+        """int32 local-key downsample must be bit-identical to the int64
+        global-key path (same centroids, same deterministic key order) —
+        the local re-key is a monotone shift of the cell coordinates."""
+        c, pts = make_cloud(2000, seed=12, scale=20.0)
+        a = voxel.voxel_downsample(c, 0.5, max_voxels=2048)
+        b = voxel.voxel_downsample_local(c, 0.5, max_voxels=2048)
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        np.testing.assert_allclose(
+            np.asarray(a.xyz)[np.asarray(a.mask)], np.asarray(b.xyz)[np.asarray(b.mask)], atol=1e-6
+        )
+
+    def test_local_downsample_negative_coords(self):
+        pts = np.array([[-0.5, -0.5, -0.5], [-0.4, -0.6, -0.5], [0.5, 0.5, 0.5]])
+        c = cloudlib.from_numpy(pts, capacity=8)
+        out = voxel.voxel_downsample_local(c, 1.0, max_voxels=8)
+        assert int(out.count) == 2
+
+    def test_local_grid_fits(self):
+        assert voxel.local_grid_fits(200.0, 0.2)  # 1000 + 2 < 1024
+        assert not voxel.local_grid_fits(205.0, 0.2)  # 1025 + 2 >= 1024
+
+    def test_gaussian_voxel_resolution_dtype(self):
+        """The stored resolution must carry the CLOUD's dtype: tests/CLI run
+        with x64 enabled, where a bare asarray(python_float) is strong f64 —
+        it would silently promote every align-loop local_cells division to
+        emulated f64 on TPU (observed 6-20x NDT slowdown)."""
+        c, _ = make_cloud(100, seed=3, scale=4.0)
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=64, min_points=1)
+        assert gv.resolution.dtype == c.xyz.dtype
+        from hdl_graph_slam_tpu.registration import vgicp
+
+        vt = vgicp.preprocess_target(c, 1.0, max_voxels=64)
+        assert vt.resolution.dtype == c.xyz.dtype
+
     def test_local_keys_out_of_grid_not_found(self):
         """Queries outside the target's 1024^3 local grid must report
         not-found (the align-loop semantics), never alias a real cell."""
@@ -302,6 +349,29 @@ class TestEig3:
         np.testing.assert_allclose(lams[:, 2], 4.0, rtol=1e-5)
 
 
+class TestSmallSolve:
+    def test_solve_spd_matches_numpy(self):
+        from hdl_graph_slam_tpu.ops import small_solve
+
+        rng = np.random.default_rng(17)
+        for _ in range(5):
+            A = rng.standard_normal((6, 6))
+            A = (A @ A.T + 6 * np.eye(6)).astype(np.float32)
+            b = rng.standard_normal(6).astype(np.float32)
+            x = np.asarray(small_solve.solve_spd(jnp.asarray(A), jnp.asarray(b)))
+            np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=2e-4, atol=2e-5)
+
+    def test_gershgorin_lower_bounds_min_eig(self):
+        from hdl_graph_slam_tpu.ops import small_solve
+
+        rng = np.random.default_rng(18)
+        A = rng.standard_normal((10, 6, 6)).astype(np.float32)
+        A = A + np.swapaxes(A, -1, -2)
+        g = np.asarray(jax.vmap(small_solve.gershgorin_min)(jnp.asarray(A)))
+        true_min = np.linalg.eigvalsh(A)[:, 0]
+        assert (g <= true_min + 1e-5).all()
+
+
 class TestPallasNN:
     def test_matches_xla_in_interpret_mode(self):
         """The fused kernel must agree with the XLA path (interpret mode on
@@ -313,17 +383,6 @@ class TestPallasNN:
         q = jnp.asarray(rng.uniform(-10, 10, (300, 3)).astype(np.float32))
         t = jnp.asarray(rng.uniform(-10, 10, (400, 3)).astype(np.float32))
         i_ref, d_ref = knn.nn1(q, t)
-
-        # run the pallas_call in interpreter mode by monkeypatching
-        import jax
-        from functools import partial
-
-        orig = pl.pallas_call
-        try:
-            pl.pallas_call = partial(orig, interpret=True)
-            # rebuild the jitted wrapper to pick up the patched pallas_call
-            i2, d2 = pnn.nn1_pallas.__wrapped__(q, t)
-        finally:
-            pl.pallas_call = orig
+        i2, d2 = pnn.nn1_pallas(q, t, interpret=True)
         assert float(jnp.mean((i_ref == i2).astype(jnp.float32))) > 0.999
         np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=1e-4, atol=1e-5)

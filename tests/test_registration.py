@@ -120,6 +120,31 @@ class TestNDT:
         assert np.linalg.norm(err[:3, 3]) < 0.15
 
 
+class TestNdtFixedCellLineSearch:
+    def test_matches_reassociating_trials(self):
+        """The fixed-cell line search (trials score against the current
+        pose's cell association; the winner is re-scored fresh) must land on
+        the same optimum as PCL-style per-trial re-association."""
+        from hdl_graph_slam_tpu.registration import ndt
+
+        pts = synthetic_scene(2000)
+        T_true = np.asarray(true_transform())
+        tgt_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        tgt = ndt.preprocess_target(cloudlib.from_numpy(tgt_pts), 2.0, max_voxels=4096)
+        src = cloudlib.from_numpy(pts)
+        guess = jnp.eye(4)
+
+        fast = ndt.align(tgt, src, guess, nn_search_method="DIRECT7", line_search_fixed_cells=True)
+        exact = ndt.align(tgt, src, guess, nn_search_method="DIRECT7", line_search_fixed_cells=False)
+        for res in (fast, exact):
+            err = np.linalg.inv(np.asarray(res.transformation)) @ T_true
+            assert np.linalg.norm(err[:3, 3]) < 0.1
+            assert bool(res.converged)
+        # the two search variants agree on the pose itself
+        d = np.linalg.inv(np.asarray(fast.transformation)) @ np.asarray(exact.transformation)
+        assert np.linalg.norm(d[:3, 3]) < 0.05
+
+
 class TestICP:
     def test_recover_transform(self):
         _check_recovery("ICP", atol_t=0.1, atol_r=0.05)
