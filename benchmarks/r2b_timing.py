@@ -36,7 +36,7 @@ def main():
     from hdl_graph_slam_tpu.frontend.prefilter import make_prefilter_fn
     from hdl_graph_slam_tpu.ops import knn, voxel
     from hdl_graph_slam_tpu.ops.pallas_nn import nn1_pallas
-    from hdl_graph_slam_tpu.registration import gicp, ndt, vgicp
+    from hdl_graph_slam_tpu.registration import gicp, icp, ndt, vgicp
 
     results = []
     rng = np.random.default_rng(0)
@@ -95,6 +95,25 @@ def main():
         results.append(
             {"metric": f"ndt_direct7_{tag}_ms", "value": round(dt * 1e3, 2), "iters": iters}
         )
+
+    # shorter line search (5 trials instead of 10) — candidate lever
+    fn5 = jax.jit(
+        lambda t, s, g: ndt.align(t, s, g, nn_search_method="DIRECT7", num_line_search=5)
+    )
+    res5 = fn5(tgt_n, src_c, guess)
+    dt = timeit(fn5, tgt_n, src_c, guess, reps=10)
+    results.append(
+        {"metric": "ndt_direct7_trials5_ms", "value": round(dt * 1e3, 2), "iters": int(res5.iterations)}
+    )
+
+    # --- ICP (single align: the 64-align scan program crashes the remote
+    # compiler; one align compiles fine) --------------------------------------
+    fn_icp = jax.jit(lambda t, s, g: icp.align(t, s, g))
+    res_icp = fn_icp(tgt_c, src_c, guess)
+    dt = timeit(fn_icp, tgt_c, src_c, guess, reps=10)
+    results.append(
+        {"metric": "icp_align_ms", "value": round(dt * 1e3, 2), "iters": int(res_icp.iterations)}
+    )
 
     # --- VGICP + GICP aligns (resolution-dtype fix check) --------------------
     src_g = gicp.preprocess(src_c)

@@ -18,25 +18,32 @@ import jax
 import jax.numpy as jnp
 
 
-def cholesky_unrolled(A: jax.Array, n: int = 6) -> list:
+def cholesky_unrolled(A: jax.Array, n: int = 6):
     """Lower-triangular Cholesky factor of the SPD (n, n) matrix as a list of
-    rows of traced scalars (Python-unrolled; n is static and small)."""
+    rows of traced scalars (Python-unrolled; n is static and small), plus the
+    minimum pivot argument encountered — non-positive iff A was not PD (the
+    factorization is clamped, so callers can branchlessly select a fallback)."""
     L = [[None] * n for _ in range(n)]
+    min_pivot = None
     for i in range(n):
         for j in range(i + 1):
             s = A[i, j]
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
+                min_pivot = s if min_pivot is None else jnp.minimum(min_pivot, s)
                 L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
             else:
                 L[i][j] = s / L[j][j]
-    return L
+    return L, min_pivot
 
 
-def solve_spd(A: jax.Array, b: jax.Array, n: int = 6) -> jax.Array:
-    """x = A^-1 b for SPD (n, n) A via unrolled Cholesky + substitutions."""
-    L = cholesky_unrolled(A, n)
+def solve_spd_checked(A: jax.Array, b: jax.Array, n: int = 6):
+    """(x, min_pivot) = (A^-1 b, smallest Cholesky pivot argument).
+
+    min_pivot <= 0 means A was not PD and x came from the clamped factor
+    (callers select a more-damped fallback in that case)."""
+    L, min_pivot = cholesky_unrolled(A, n)
     # forward: L y = b
     y = [None] * n
     for i in range(n):
@@ -51,7 +58,12 @@ def solve_spd(A: jax.Array, b: jax.Array, n: int = 6) -> jax.Array:
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
-    return jnp.stack(x)
+    return jnp.stack(x), min_pivot
+
+
+def solve_spd(A: jax.Array, b: jax.Array, n: int = 6) -> jax.Array:
+    """x = A^-1 b for SPD (n, n) A via unrolled Cholesky + substitutions."""
+    return solve_spd_checked(A, b, n)[0]
 
 
 def gershgorin_min(A: jax.Array) -> jax.Array:

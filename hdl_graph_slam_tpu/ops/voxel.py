@@ -128,6 +128,59 @@ def searchsorted32(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
     return lo
 
 
+# --- Dense O(1) cell-index grid ---------------------------------------------
+#
+# The sorted-key binary search costs log2(V) DEPENDENT gathers per query —
+# measured ~5.6 ms per NDT iteration at (8192, 7) queries on TPU, 2/3 of the
+# whole Newton body. ndt_omp's DIRECT modes are direct grid indexing
+# (VoxelGridCovariance::getNeighborhoodAtPoint7 indexes the pcl::VoxelGrid
+# leaf array); this is the TPU equivalent: scatter the table rows into a
+# dense (G, G, G) int32 grid once at preprocess, then every lookup is ONE
+# gather. Cells outside the G^3 grid are not-found — the same out-of-grid
+# semantics as the 1024^3 local addressing above, just a tighter bound
+# (G*resolution meters per axis, anchored at the target's min occupied cell).
+
+DENSE_GRID_SIZE = 256  # 256^3 int32 = 64 MB; covers 2*far_thresh at res 1.0
+
+
+def build_dense_grid(keys: jax.Array, mask: jax.Array, grid_size: int = DENSE_GRID_SIZE) -> jax.Array:
+    """Scatter table rows into a flat (G^3,) int32 grid; -1 = empty cell.
+
+    ``keys`` are packed int32 local keys of a (sorted) voxel table; rows whose
+    cell lies outside the G^3 grid are dropped (their cells become
+    unreachable via lookup_dense — document/verify extent fits)."""
+    G = grid_size
+    i = keys >> (2 * _LOCAL_BITS)
+    j = (keys >> _LOCAL_BITS) & (_LOCAL_RANGE - 1)
+    k = keys & (_LOCAL_RANGE - 1)
+    in_grid = mask & (keys != _LOCAL_INVALID) & (i < G) & (j < G) & (k < G)
+    flat = (i * G + j) * G + k
+    rows = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    grid = jnp.full((G * G * G,), -1, jnp.int32)
+    return grid.at[jnp.where(in_grid, flat, G * G * G)].set(rows, mode="drop")
+
+
+def grid_dim(grid: jax.Array) -> int:
+    """Static per-axis cell count of a flat (G^3,) dense grid."""
+    return round(grid.shape[0] ** (1.0 / 3.0))
+
+
+def lookup_dense(grid: jax.Array, query_keys: jax.Array, grid_size: int = DENSE_GRID_SIZE):
+    """(index, found) per int32 local query key: one gather, O(1) per query.
+
+    Exact within the G^3 grid: a hit's table row has exactly the query's cell
+    coords (the grid stores rows keyed by cell), so no key re-check is needed."""
+    G = grid_size
+    i = query_keys >> (2 * _LOCAL_BITS)
+    j = (query_keys >> _LOCAL_BITS) & (_LOCAL_RANGE - 1)
+    k = query_keys & (_LOCAL_RANGE - 1)
+    in_grid = (query_keys != _LOCAL_INVALID) & (i < G) & (j < G) & (k < G)
+    flat = jnp.where(in_grid, (i * G + j) * G + k, 0)
+    idx = grid[flat]
+    found = in_grid & (idx >= 0)
+    return jnp.maximum(idx, 0), found
+
+
 def _segment_ids_from_sorted_keys(keys_sorted: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Dense segment ids for a sorted key array + is-segment-start flags."""
     starts = jnp.concatenate(

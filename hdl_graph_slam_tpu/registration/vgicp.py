@@ -40,14 +40,23 @@ class VgicpTarget:
     mask: jax.Array  # (V,)
     resolution: jax.Array
     origin: jax.Array  # (3,) int32 local-grid anchor
+    # flat (G^3,) dense cell->row grid: O(1) per-iteration correspondence
+    # (one gather) instead of a log2(V) binary search; None = search path.
+    grid: jax.Array | None = None
 
 
-@partial(jax.jit, static_argnames=("max_voxels", "k"))
-def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: int = 20) -> VgicpTarget:
+@partial(jax.jit, static_argnames=("max_voxels", "k", "grid_size"))
+def preprocess_target(
+    cloud: PointCloud, resolution, max_voxels: int = 8192, k: int = 20,
+    grid_size: int = voxelops.DENSE_GRID_SIZE,
+) -> VgicpTarget:
     """Per-point GICP covariances -> voxel-aggregated Gaussians.
 
     Voxel addressing uses the target-anchored int32 local keys (native int32
-    sort/searchsorted on TPU, no x64 in the per-iteration lookup)."""
+    sort/searchsorted on TPU, no x64 in the per-iteration lookup). With
+    grid_size > 0 the per-iteration lookup is one dense-grid gather; voxels
+    beyond grid_size*resolution meters from the min occupied cell are then
+    unreachable (not-found), mirroring the 1024^3 local-grid bound."""
     gc = gicp_preprocess(cloud, k=k)
     origin = voxelops.local_origin(cloud.xyz, cloud.mask, resolution)
     keys = voxelops.pack_local_keys(voxelops.local_cells(cloud.xyz, resolution), origin, cloud.mask)
@@ -67,8 +76,10 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
     cov = acc[:, 4:].reshape(-1, 3, 3) / jnp.clip(counts[:, None, None], 1.0, None)
     seg_keys = voxelops._segment_keys(keys_s, seg, max_voxels)
     vmask = (counts > 0) & (seg_keys != _INVALID_KEY)
+    final_keys = jnp.where(vmask, seg_keys, _INVALID_KEY)
+    grid = voxelops.build_dense_grid(final_keys, vmask, grid_size) if grid_size else None
     return VgicpTarget(
-        keys=jnp.where(vmask, seg_keys, _INVALID_KEY),
+        keys=final_keys,
         means=jnp.where(vmask[:, None], mean, PAD_COORD),
         covs=cov,
         mask=vmask,
@@ -76,11 +87,14 @@ def preprocess_target(cloud: PointCloud, resolution, max_voxels: int = 8192, k: 
         # poisons the per-iteration local_cells division into emulated f64
         resolution=jnp.asarray(resolution, dtype=cloud.xyz.dtype),
         origin=origin,
+        grid=grid,
     )
 
 
 def _correspond(tgt: VgicpTarget, moved: jax.Array, mask: jax.Array):
     keys = voxelops.pack_local_keys(voxelops.local_cells(moved, tgt.resolution), tgt.origin, mask)
+    if tgt.grid is not None:
+        return voxelops.lookup_dense(tgt.grid, keys, voxelops.grid_dim(tgt.grid))
     idx = jnp.clip(voxelops.searchsorted32(tgt.keys, keys), 0, tgt.keys.shape[0] - 1)
     found = (tgt.keys[idx] == keys) & tgt.mask[idx] & mask
     return idx, found

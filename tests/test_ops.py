@@ -198,6 +198,39 @@ class TestVoxel:
         _, found = voxel.lookup_voxels(gv, keys)
         assert not bool(jnp.any(found))
 
+    def test_dense_grid_matches_binary_search(self):
+        """lookup_dense must agree with lookup_voxels for every in-grid query
+        (hits AND misses): it replaces the binary search in the NDT/VGICP
+        align loops, one gather per query."""
+        c, _ = make_cloud(2000, seed=7, scale=15.0)
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=512, min_points=1)
+        grid = voxel.build_dense_grid(gv.keys, gv.mask, 64)
+        rng = np.random.default_rng(8)
+        pts = jnp.asarray(rng.uniform(-18, 18, (500, 3)).astype(np.float32))
+        qkeys = voxel.query_keys_for(gv, pts, jnp.ones(500, dtype=bool))
+        i_ref, f_ref = voxel.lookup_voxels(gv, qkeys)
+        i_new, f_new = voxel.lookup_dense(grid, qkeys, 64)
+        np.testing.assert_array_equal(np.asarray(f_new), np.asarray(f_ref))
+        hits = np.asarray(f_ref)
+        np.testing.assert_array_equal(np.asarray(i_new)[hits], np.asarray(i_ref)[hits])
+
+    def test_dense_grid_out_of_grid_not_found(self):
+        """Cells beyond the G^3 dense grid report not-found — never alias."""
+        c, _ = make_cloud(500, seed=6, scale=40.0)  # spans > 16 cells at res 1.0
+        gv = voxel.build_gaussian_voxels(c, 1.0, max_voxels=512, min_points=1)
+        grid = voxel.build_dense_grid(gv.keys, gv.mask, 16)
+        qkeys = voxel.query_keys_for(gv, c.xyz, c.mask)
+        idx, found = voxel.lookup_dense(grid, qkeys, 16)
+        # every reported hit must be a true key match in the table
+        hits = np.asarray(found)
+        assert hits.any()  # some cells fall inside the 16^3 corner
+        np.testing.assert_array_equal(
+            np.asarray(gv.keys)[np.asarray(idx)[hits]], np.asarray(qkeys)[hits]
+        )
+        # and cells outside the grid are misses even though they're in the table
+        i_ref, f_ref = voxel.lookup_voxels(gv, qkeys)
+        assert int(np.sum(np.asarray(f_ref))) > int(np.sum(hits))
+
     def test_min_points_masking_keeps_table_sorted(self):
         """Cells failing min_points must not break the sorted key order the
         binary-search lookup depends on (regression: a masked mid-sequence

@@ -120,6 +120,42 @@ class TestNDT:
         assert np.linalg.norm(err[:3, 3]) < 0.15
 
 
+class TestDenseGridParity:
+    def test_ndt_dense_grid_matches_search(self):
+        """NDT align through the dense O(1) grid must land on the same pose
+        as the sorted-key binary search (the grid covers the whole scene)."""
+        from hdl_graph_slam_tpu.registration import ndt
+
+        pts = synthetic_scene(2000)
+        T_true = np.asarray(true_transform())
+        tgt_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        src = cloudlib.from_numpy(pts)
+        guess = jnp.eye(4)
+        tgt_g = ndt.preprocess_target(cloudlib.from_numpy(tgt_pts), 2.0, max_voxels=4096, grid_size=64)
+        tgt_s = ndt.preprocess_target(cloudlib.from_numpy(tgt_pts), 2.0, max_voxels=4096, grid_size=0)
+        rg = ndt.align(tgt_g, src, guess)
+        rs = ndt.align(tgt_s, src, guess)
+        np.testing.assert_allclose(
+            np.asarray(rg.transformation), np.asarray(rs.transformation), atol=1e-5
+        )
+
+    def test_vgicp_dense_grid_matches_search(self):
+        from hdl_graph_slam_tpu.registration import gicp, vgicp
+
+        pts = synthetic_scene(2000)
+        T_true = np.asarray(true_transform())
+        tgt_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        src = gicp.preprocess(cloudlib.from_numpy(pts))
+        guess = jnp.eye(4)
+        tgt_g = vgicp.preprocess_target(cloudlib.from_numpy(tgt_pts), 1.0, max_voxels=4096, grid_size=64)
+        tgt_s = vgicp.preprocess_target(cloudlib.from_numpy(tgt_pts), 1.0, max_voxels=4096, grid_size=0)
+        rg = vgicp.align(tgt_g, src, guess)
+        rs = vgicp.align(tgt_s, src, guess)
+        np.testing.assert_allclose(
+            np.asarray(rg.transformation), np.asarray(rs.transformation), atol=1e-5
+        )
+
+
 class TestNdtFixedCellLineSearch:
     def test_matches_reassociating_trials(self):
         """The fixed-cell line search (trials score against the current
