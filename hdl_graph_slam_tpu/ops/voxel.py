@@ -191,12 +191,19 @@ def _segment_ids_from_sorted_keys(keys_sorted: jax.Array) -> Tuple[jax.Array, ja
 
 
 def _segment_keys(keys_s: jax.Array, seg_ids: jax.Array, max_segments: int) -> jax.Array:
-    """Representative key per segment WITHOUT a scatter: segment v's first
-    row position is searchsorted(seg_ids, v), and all keys within a segment
-    are equal. Slots past the last segment gather an arbitrary key — callers
-    mask those via their count==0 / sentinel-key checks."""
+    """Representative key per segment: one scatter-min of row indices gives
+    each segment's first row, then one gather reads its key (all keys within
+    a segment are equal). The previous binary-search formulation
+    (searchsorted32 over seg_ids) cost log2(N) DEPENDENT gather rounds —
+    measured 0.9 ms of the 1.4 ms voxel downsample at 16k pts on TPU; the
+    scatter-min is ~0.1 ms. Segments past max_segments clamp into the last
+    slot, whose true start still wins the min (sorted order ⇒ smaller row).
+    Slots past the last segment gather an arbitrary key — callers mask those
+    via their count==0 / sentinel-key checks."""
     n = keys_s.shape[0]
-    start = searchsorted32(seg_ids, jnp.arange(max_segments, dtype=jnp.int32))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.full((max_segments,), jnp.int32(n), jnp.int32)
+    start = start.at[jnp.minimum(seg_ids, max_segments - 1)].min(iota)
     return keys_s[jnp.clip(start, 0, n - 1)]
 
 

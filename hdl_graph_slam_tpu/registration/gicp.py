@@ -70,10 +70,10 @@ def preprocess(cloud: PointCloud, k: int = 20, exact: bool = False) -> GicpCloud
     else:
         # neighbor SET only — the covariance is permutation-invariant, so the
         # exact-distance rescore (the expensive part of knn_approx) is
-        # skipped; 0.9 recall is statistically invisible after plane
-        # regularization (alignment parity tested vs exact neighbors) and
-        # ~25% cheaper than 0.95
-        idx, _ = knn.knn_approx(xyz, xyz, k, recall_target=0.9, exact_dists=False)
+        # skipped; 0.85 recall is statistically invisible after plane
+        # regularization (alignment parity tested vs exact neighbors:
+        # TestApproxExactParity) and ~15% cheaper selection than 0.9
+        idx, _ = knn.knn_approx(xyz, xyz, k, recall_target=0.85, exact_dists=False)
     nbrs = xyz[idx]  # (N, k, 3)
     mean = jnp.mean(nbrs, axis=1, keepdims=True)
     centered = nbrs - mean
