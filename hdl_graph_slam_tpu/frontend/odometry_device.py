@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.cloud import PointCloud
 from ..core.config import OdometryConfig, RegistrationConfig
+from ..ops import voxel as voxelops
 from ..registration import gicp, icp, ndt, vgicp
 
 
@@ -65,7 +66,8 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
     if "VGICP" in m:
         prep = lambda cloud: gicp.preprocess(cloud, k=cfg.reg_correspondence_randomness)
         make_tgt = lambda cloud, src: vgicp.preprocess_target(
-            cloud, cfg.reg_resolution, max_voxels=max_voxels, k=cfg.reg_correspondence_randomness
+            cloud, cfg.reg_resolution, max_voxels=max_voxels, k=cfg.reg_correspondence_randomness,
+            grid_size=voxelops.dense_grid_size_for(cfg.reg_resolution),
         )
         align = lambda tgt, src, guess: vgicp.align(
             tgt, src, guess,
@@ -94,7 +96,8 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
     else:  # NDT / NDT_OMP
         prep = lambda cloud: cloud
         make_tgt = lambda cloud, src: ndt.preprocess_target(
-            cloud, cfg.reg_resolution, max_voxels=max_voxels
+            cloud, cfg.reg_resolution, max_voxels=max_voxels,
+            grid_size=voxelops.dense_grid_size_for(cfg.reg_resolution),
         )
         align = lambda tgt, src, guess: ndt.align(
             tgt, src, guess,

@@ -142,6 +142,25 @@ def searchsorted32(sorted_keys: jax.Array, queries: jax.Array) -> jax.Array:
 
 DENSE_GRID_SIZE = 256  # 256^3 int32 = 64 MB; covers 2*far_thresh at res 1.0
 
+# physical span the dense grid must cover per axis: the target cloud's
+# extent, bounded by 2 * distance_far_thresh (the largest preset far
+# threshold is 100 m — kitti)
+DENSE_GRID_SPAN_M = 256.0
+
+
+def dense_grid_size_for(resolution: float, span_m: float = DENSE_GRID_SPAN_M) -> int:
+    """Static (python) grid size covering ``span_m`` meters per axis at
+    ``resolution``: random gathers from a 128^3 grid measured ~25% faster
+    than from the 256^3 one on TPU (8 MB vs 64 MB table), so don't pay for
+    cells the clouds can't reach. Power-of-two in [64, DENSE_GRID_SIZE]."""
+    import math
+
+    need = math.ceil(span_m / float(resolution))
+    g = 64
+    while g < need and g < DENSE_GRID_SIZE:
+        g *= 2
+    return g
+
 
 def build_dense_grid(keys: jax.Array, mask: jax.Array, grid_size: int = DENSE_GRID_SIZE) -> jax.Array:
     """Scatter table rows into a flat (G^3,) int32 grid; -1 = empty cell.

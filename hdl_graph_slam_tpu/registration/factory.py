@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..core.cloud import PointCloud
 from ..core.config import RegistrationConfig
 from ..ops import knn
+from ..ops import voxel as voxelops
 from . import gicp, icp, ndt, vgicp
 from .base import AlignResult
 
@@ -60,10 +61,14 @@ class Registration:
             self._target_state = gicp.preprocess(cloud, k=c.reg_correspondence_randomness)
         elif self.method == "VGICP":
             self._target_state = vgicp.preprocess_target(
-                cloud, c.reg_resolution, max_voxels=self.max_voxels, k=c.reg_correspondence_randomness
+                cloud, c.reg_resolution, max_voxels=self.max_voxels, k=c.reg_correspondence_randomness,
+                grid_size=voxelops.dense_grid_size_for(c.reg_resolution),
             )
         elif self.method == "NDT":
-            self._target_state = ndt.preprocess_target(cloud, c.reg_resolution, max_voxels=self.max_voxels)
+            self._target_state = ndt.preprocess_target(
+                cloud, c.reg_resolution, max_voxels=self.max_voxels,
+                grid_size=voxelops.dense_grid_size_for(c.reg_resolution),
+            )
         else:
             self._target_state = cloud
 

@@ -148,7 +148,7 @@ def _score(tgt: NdtTarget, moved: jax.Array, mask: jax.Array, means, icovs, foun
 
 
 def score_derivatives(d1, d2, moved0, mask, means, icovs, found):
-    """Analytic gradient and Hessian of the NDT mixture score at delta=0 for
+    """Analytic gradient, Hessian AND score of the NDT mixture at delta=0 for
     the left-multiplied twist q(delta) = p + v + w x p + 0.5 w x (w x p)
     + 0.5 w x v (the quadratic truncation of exp([v,w]^) p — exact value,
     gradient and Hessian at delta=0, where they are evaluated).
@@ -172,6 +172,11 @@ def score_derivatives(d1, d2, moved0, mask, means, icovs, found):
     followed by 3x3 block algebra with hat(p). No (N, K, 6, 6) temporaries
     are ever materialized (the naive einsum form lowered to ~13 ms/call on
     TPU; this form is bandwidth-bound on the (N, K, 3, 3) icovs read).
+
+    Returns (grad (6,), hessian (6, 6), score ()): the score is sum(E) — free
+    here, and it lets the Newton loop's accept gate compare trial scores
+    against the current score under the SAME association without any extra
+    pass.
     """
     dtype = moved0.dtype
     p = moved0  # (N, 3)
@@ -219,7 +224,7 @@ def score_derivatives(d1, d2, moved0, mask, means, icovs, found):
             [jnp.sum(C_wv, axis=0), jnp.sum(C_ww, axis=0)],
         ]
     )
-    return grad, H
+    return grad, H, jnp.sum(E)
 
 
 class _NewtonState(NamedTuple):
@@ -228,13 +233,18 @@ class _NewtonState(NamedTuple):
     converged: jax.Array
     score: jax.Array
     num_inliers: jax.Array
-    # cell association AT s.T, carried across iterations (fixed-cells mode):
-    # the winner re-score of iteration k gathers at exactly the pose
-    # iteration k+1 linearizes at, so re-gathering there would be pure waste
-    # (~2 ms/iteration of pack+lookup+gather on TPU at 8k pts).
+    # cell association carried across iterations (fixed-cells mode). It is
+    # refreshed (pack+lookup+gather, ~1.4 ms at 8k pts on TPU — the single
+    # most expensive stage of the Newton body) only when the accumulated
+    # per-point displacement bound since the last refresh exceeds the
+    # reassoc budget, or when the loop is about to declare convergence on a
+    # stale association (then it refreshes and re-checks instead).
     found: jax.Array  # (N, K) bool
     means: jax.Array  # (N, K, 3)
     icovs: jax.Array  # (N, K, 3, 3)
+    # accumulated displacement bound sum_steps alpha*(|v| + |w|*r_max) since
+    # the last fresh association; 0 right after a refresh
+    disp: jax.Array  # () float
 
 
 @partial(
@@ -251,19 +261,27 @@ def align(
     nn_search_method: str = "DIRECT7",
     num_line_search: int = 10,
     line_search_fixed_cells: bool = True,
+    reassoc_displacement=0.25,
 ) -> AlignResult:
     """Newton-optimize the NDT mixture score from ``guess``.
 
     line_search_fixed_cells=True (default): line-search trials score against
-    the cell association of the CURRENT pose (one gather per iteration) and
-    only the winning candidate is re-scored with a fresh association, which
-    gates acceptance — trial steps are bounded by step_size (0.1 m), far
-    below the cell size, so membership changes between trials are rare and
-    the fresh re-score catches the case where they matter. PCL's
-    More-Thuente search re-associates every trial evaluation
-    (ndt.hpp computeStepLengthMT); pass False for that trial-exact parity
-    (DIRECT7 cost scales with the trial count: ~11 cell gathers per Newton
-    iteration instead of 2).
+    the cell association of the CURRENT pose and acceptance compares the best
+    trial against the current score under that SAME association (a
+    consistent comparison — no mixed-provenance scores). The association is
+    re-gathered (pack+lookup+gather, the most expensive stage of the Newton
+    body on TPU) only when the accumulated per-point displacement bound
+    since the last refresh exceeds ``reassoc_displacement * resolution``
+    (displacement bound per step: alpha * (|v| + |w| * r_max), r_max = the
+    farthest source point) — cell membership physically cannot have changed
+    for points that moved far less than a cell — or when the loop is about
+    to declare convergence on a stale association: then it refreshes and
+    re-checks instead, so the final pose always survives a fresh-association
+    line search. reassoc_displacement=0.0 refreshes on every accepted step
+    (the strictest setting). PCL's More-Thuente search re-associates every
+    trial evaluation (ndt.hpp computeStepLengthMT); pass
+    line_search_fixed_cells=False for that trial-exact parity (DIRECT7 cost
+    scales with the trial count: ~11 cell gathers per Newton iteration).
     """
     if nn_search_method.upper() == "KDTREE":
         gather = lambda pts, mask: _gather_cells_kdtree(tgt, pts, mask)
@@ -273,6 +291,10 @@ def align(
     dtype = guess.dtype
     src_xyz = src.xyz
     src_mask = src.mask
+    # farthest valid source point: converts a unit twist into a per-point
+    # displacement bound for the re-association gate
+    r_max = jnp.sqrt(jnp.max(jnp.where(src_mask, jnp.sum(src_xyz * src_xyz, axis=-1), 0.0)))
+    disp_budget = jnp.asarray(reassoc_displacement, dtype) * tgt.voxels.resolution.astype(dtype)
 
     def full_score(T):
         """Score with a FRESH association at T; returns the association so
@@ -284,18 +306,24 @@ def align(
         ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
         return _score(tgt, moved, src_mask, means, icovs, found), ninl, (found, means, icovs)
 
+    def fresh_assoc(T):
+        """Association only (no score): the gated per-iteration refresh."""
+        moved = se3.transform_points(T, src_xyz)
+        idx, found = gather(moved, src_mask)
+        means, icovs = _gather_mean_icov(tgt, idx)
+        ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
+        return found, means, icovs, ninl
+
     def cond(s: _NewtonState):
         return (s.it < max_iterations) & jnp.logical_not(s.converged)
 
     def body(s: _NewtonState):
-        # correspondences at the current pose (fixed during differentiation,
-        # like PCL's per-iteration voxel association): they ride in from the
-        # previous iteration's re-association at T_new == s.T, so no gather
-        # happens here (~2 ms/iteration of pack+lookup+gather saved on TPU).
+        # correspondences at (or within disp_budget of) the current pose,
+        # carried in the loop state — no gather happens here
         moved0 = se3.transform_points(s.T, src_xyz)
         found, means, icovs = s.found, s.means, s.icovs
 
-        g, H = score_derivatives(tgt.d1, tgt.d2, moved0, src_mask, means, icovs, found)
+        g, H, score0 = score_derivatives(tgt.d1, tgt.d2, moved0, src_mask, means, icovs, found)
         # PD correction (PCL adds a multiple of I when H has negative evals).
         # The margin is proportional to the spectrum scale so the corrected
         # system stays well-conditioned in f32 — a fixed tiny margin leaves a
@@ -346,10 +374,10 @@ def align(
             trial_scores = jax.vmap(trial)(alphas)
             best = jnp.argmin(trial_scores)
             T_best = se3.se3_exp(alphas[best] * ddir) @ s.T
-            # one fresh re-association of the winning candidate gates the
-            # accept, so s.score always carries re-associated scores; its
-            # gather is carried into the next iteration (same pose)
-            best_score, ninl_b, (found_b, means_b, icovs_b) = full_score(T_best)
+            # accept compares against score0 — the score at s.T under the
+            # SAME association the trials used (consistent comparison)
+            best_score = trial_scores[best]
+            current_score = score0
         else:
             def trial(alpha):
                 T = se3.se3_exp(alpha * ddir) @ s.T
@@ -362,30 +390,38 @@ def align(
             best = jnp.argmin(trial_scores)
             T_best = se3.se3_exp(alphas[best] * ddir) @ s.T
             best_score = trial_scores[best]
-            ninl_b, found_b, means_b, icovs_b = None, None, None, None
+            current_score = s.score
 
-        improve = best_score < s.score
+        improve = best_score < current_score
         alpha = jnp.where(improve, alphas[best], 0.0)
         T_new = jnp.where(improve, T_best, s.T)
-        new_score = jnp.where(improve, best_score, s.score)
-        # converged when the applied update is below epsilon (PCL: incremental
-        # transform norm < transformation_epsilon). A failed line search with
-        # candidates spanning base..base/2^K counts as a vanishing step.
-        conv = alpha < transformation_epsilon
+        new_score = jnp.where(improve, best_score, current_score)
         if line_search_fixed_cells:
-            # carry the association of T_new: the winner's when accepted,
-            # the current one when rejected (T_new == s.T then)
-            found_n = jnp.where(improve, found_b, s.found)
-            means_n = jnp.where(improve, means_b, s.means)
-            icovs_n = jnp.where(improve, icovs_b, s.icovs)
-            ninl = jnp.where(improve, ninl_b, s.num_inliers)
+            # converged when the applied update is below epsilon (PCL:
+            # incremental transform norm < transformation_epsilon) — but only
+            # trusted on a fresh association (disp == 0); a vanishing step on
+            # a stale association triggers a refresh and a re-check instead.
+            stale = s.disp > 0.0
+            would_conv = alpha < transformation_epsilon
+            conv = would_conv & jnp.logical_not(stale)
+            step_disp = alpha * (jnp.linalg.norm(ddir[:3]) + jnp.linalg.norm(ddir[3:]) * r_max)
+            disp_next = s.disp + step_disp
+            refresh = (would_conv & stale) | (disp_next > disp_budget)
+
+            found_n, means_n, icovs_n, ninl, disp_n = jax.lax.cond(
+                refresh,
+                lambda: fresh_assoc(T_new) + (jnp.asarray(0.0, dtype),),
+                lambda: (s.found, s.means, s.icovs, s.num_inliers, disp_next),
+            )
         else:
+            conv = alpha < transformation_epsilon
             idx_n, found_n = gather(se3.transform_points(T_new, src_xyz), src_mask)
             means_n, icovs_n = _gather_mean_icov(tgt, idx_n)
             ninl = jnp.sum(jnp.any(found_n & src_mask[:, None], axis=1).astype(jnp.int32))
+            disp_n = jnp.asarray(0.0, dtype)
         return _NewtonState(
             T=T_new, it=s.it + 1, converged=conv, score=new_score, num_inliers=ninl,
-            found=found_n, means=means_n, icovs=icovs_n,
+            found=found_n, means=means_n, icovs=icovs_n, disp=disp_n,
         )
 
     s0, n0, (found0, means0, icovs0) = full_score(guess)
@@ -398,12 +434,18 @@ def align(
         found=found0,
         means=means0,
         icovs=icovs0,
+        disp=jnp.asarray(0.0, dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
+    # honest final score: evaluated at the final pose under the carried
+    # association (fresh after the convergence-gated refresh) — one (N, K)
+    # einsum, no gather
+    moved_f = se3.transform_points(final.T, src_xyz)
+    err = _score(tgt, moved_f, src_mask, final.means, final.icovs, final.found)
     return AlignResult(
         transformation=final.T,
         converged=final.converged,
         iterations=final.it,
-        error=final.score,
+        error=err,
         num_inliers=final.num_inliers,
     )

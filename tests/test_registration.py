@@ -290,9 +290,10 @@ class TestNdtAnalyticDerivatives:
         zero = jnp.zeros(6, moved0.dtype)
         g_ref = np.asarray(jax.grad(loss)(zero))
         H_ref = np.asarray(jax.hessian(loss)(zero))
-        g, H = ndtmod.score_derivatives(d1, d2, moved0, mask, means, icovs, found)
+        g, H, score = ndtmod.score_derivatives(d1, d2, moved0, mask, means, icovs, found)
         np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-9, atol=1e-10)
         np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(score), np.asarray(loss(zero)), rtol=1e-6)
 
 
 class TestNdtKdtreeMode:
