@@ -74,7 +74,12 @@ def main() -> None:
     raw_capacity = 16384
 
     win = OdometryWindow(
-        OdometryConfig(keyframe_delta_trans=2.0, keyframe_delta_time=1e9, registration=RegistrationConfig()),
+        # reg_reassoc_displacement: carry GICP correspondences across LM
+        # iterations within a 0.1 m displacement budget (identical terminal
+        # poses — convergence is only declared on a fresh association; see
+        # base.lm_loop + TestGatedReassociation)
+        OdometryConfig(keyframe_delta_trans=2.0, keyframe_delta_time=1e9,
+                       registration=RegistrationConfig(reg_reassoc_displacement=0.1)),
         prefilter_cfg=PrefilterConfig(downsample_resolution=0.2, outlier_removal_method="NONE"),
         out_capacity=8192,
     )

@@ -73,6 +73,7 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
             tgt, src, guess,
             transformation_epsilon=cfg.reg_transformation_epsilon,
             max_iterations=cfg.reg_maximum_iterations,
+            reassoc_displacement=cfg.reg_reassoc_displacement,
         )
     elif "GICP" in m:
         prep = lambda cloud: gicp.preprocess(cloud, k=cfg.reg_correspondence_randomness)
@@ -82,6 +83,7 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
             max_corr_dist=cfg.reg_max_correspondence_distance,
             transformation_epsilon=cfg.reg_transformation_epsilon,
             max_iterations=cfg.reg_maximum_iterations,
+            reassoc_displacement=cfg.reg_reassoc_displacement,
         )
     elif m == "ICP":
         prep = lambda cloud: cloud

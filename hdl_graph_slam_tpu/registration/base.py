@@ -57,6 +57,8 @@ def lm_loop(
     max_iterations: int,
     transformation_epsilon,
     lm_init_lambda_factor=1e-9,
+    reassoc_displacement: float = 0.0,
+    r_max=None,
 ) -> AlignResult:
     """Levenberg-Marquardt over SE(3) with Nielsen damping, shared by
     GICP/VGICP (fast_gicp LsqRegistration::step_lm structure).
@@ -73,9 +75,22 @@ def lm_loop(
     that permanently stall rotation estimation.
 
     The left-multiplied increment exp(d) is applied as T <- exp(d) @ T. One
-    trial per while_loop step: a rejected trial re-runs associate+linearize
-    at the unchanged pose (identical results), keeping shapes static;
-    semantics match the reference's nested accept/reject loop.
+    trial per while_loop step: a rejected trial keeps the current pose,
+    keeping shapes static; semantics match the reference's nested
+    accept/reject loop.
+
+    reassoc_displacement > 0 (static; requires ``r_max`` = the farthest
+    source point's radius) carries the correspondences across iterations and
+    re-runs ``associate`` only when the accumulated per-point displacement
+    bound since the last association (sum of |d_v| + |d_w| * r_max over
+    accepted steps) exceeds that many meters — or when the loop is about to
+    declare convergence on a stale association, in which case it refreshes
+    and re-checks instead. The terminal pose therefore always satisfies the
+    same fixed-point condition as fast_gicp's per-iteration re-association
+    (LM-converged under a fresh association); what changes is only the path
+    taken. 0.0 (default) re-associates every iteration like fast_gicp —
+    including at an unchanged pose after a rejected trial, where it is
+    recomputing an identical result.
     """
     from ..core import se3  # local import to avoid cycle
 
@@ -85,12 +100,16 @@ def lm_loop(
     corr0 = associate(guess)
     H0, b0, cost0, n0 = linearize_at(guess, corr0)
     lam0 = lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H0)))
+    gated = bool(reassoc_displacement)
+    if gated and r_max is None:
+        raise ValueError("reassoc_displacement > 0 requires r_max")
 
-    def cond(s: LMState):
-        return (s.it < max_iterations) & jnp.logical_not(s.converged)
+    def cond(s):
+        return (s[0].it < max_iterations) & jnp.logical_not(s[0].converged)
 
-    def body(s: LMState):
-        corr = associate(s.T)
+    def lm_step(s: LMState, corr):
+        """One damped trial with fixed correspondences; returns the updated
+        LMState pieces + the step twist d and accept flag."""
         H, b, cost, ninl = linearize_at(s.T, corr)
         # damped system is SPD by construction: unrolled 6x6 Cholesky beats
         # the generic LU-with-pivoting lowering of jnp.linalg.solve on TPU
@@ -118,7 +137,7 @@ def lm_loop(
         # which is exactly fast_gicp's termination condition.
         conv = se3_delta_converged(delta, transformation_epsilon)
         return LMState(T=T, lam=lam, nu=nu, it=s.it + 1, converged=conv,
-                       num_inliers=ninl, error=jnp.where(accept, cost_new, cost))
+                       num_inliers=ninl, error=jnp.where(accept, cost_new, cost)), d, accept
 
     init = LMState(
         T=guess,
@@ -129,7 +148,39 @@ def lm_loop(
         num_inliers=n0,
         error=cost0,
     )
-    final = jax.lax.while_loop(cond, body, init)
+
+    if not gated:
+        def body(carry):
+            s, _ = carry
+            corr = associate(s.T)
+            s2, _, _ = lm_step(s, corr)
+            return (s2, 0)
+
+        final, _ = jax.lax.while_loop(cond, body, (init, 0))
+    else:
+        budget = jnp.asarray(reassoc_displacement, dtype)
+
+        def body(carry):
+            s, (corr, disp) = carry
+            s2, d, accept = lm_step(s, corr)
+            step_disp = jnp.where(
+                accept, jnp.linalg.norm(d[:3]) + jnp.linalg.norm(d[3:]) * r_max, 0.0
+            ).astype(dtype)
+            disp_next = disp + step_disp
+            stale = disp > 0.0
+            # only trust convergence on a fresh association; a stale one
+            # refreshes and re-checks next iteration
+            conv = s2.converged & jnp.logical_not(stale)
+            refresh = (s2.converged & stale) | (disp_next > budget)
+            corr_n, disp_n = jax.lax.cond(
+                refresh,
+                lambda: (associate(s2.T), jnp.asarray(0.0, dtype)),
+                lambda: (corr, disp_next),
+            )
+            s3 = s2._replace(converged=conv, num_inliers=corr_n.num)
+            return (s3, (corr_n, disp_n))
+
+        final, _ = jax.lax.while_loop(cond, body, (init, (corr0, jnp.asarray(0.0, dtype))))
     return AlignResult(
         transformation=final.T,
         converged=final.converged,

@@ -86,6 +86,7 @@ class Registration:
                 max_corr_dist=c.reg_max_correspondence_distance,
                 transformation_epsilon=c.reg_transformation_epsilon,
                 max_iterations=c.reg_maximum_iterations,
+                reassoc_displacement=c.reg_reassoc_displacement,
             )
         elif self.method == "VGICP":
             result = _vgicp_frame(
@@ -93,6 +94,7 @@ class Registration:
                 k=c.reg_correspondence_randomness,
                 transformation_epsilon=c.reg_transformation_epsilon,
                 max_iterations=c.reg_maximum_iterations,
+                reassoc_displacement=c.reg_reassoc_displacement,
             )
         elif self.method == "NDT":
             result = ndt.align(
@@ -138,22 +140,26 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnames=("k", "max_iterations"))
-def _gicp_frame(tgt_state, source, guess, k, max_corr_dist, transformation_epsilon, max_iterations):
+@partial(jax.jit, static_argnames=("k", "max_iterations", "reassoc_displacement"))
+def _gicp_frame(tgt_state, source, guess, k, max_corr_dist, transformation_epsilon, max_iterations,
+                reassoc_displacement=0.0):
     src = gicp.preprocess(source, k=k)
     return gicp.align(
         tgt_state, src, guess,
         max_corr_dist=max_corr_dist,
         transformation_epsilon=transformation_epsilon,
         max_iterations=max_iterations,
+        reassoc_displacement=reassoc_displacement,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "max_iterations"))
-def _vgicp_frame(tgt_state, source, guess, k, transformation_epsilon, max_iterations):
+@partial(jax.jit, static_argnames=("k", "max_iterations", "reassoc_displacement"))
+def _vgicp_frame(tgt_state, source, guess, k, transformation_epsilon, max_iterations,
+                 reassoc_displacement=0.0):
     src = gicp.preprocess(source, k=k)
     return vgicp.align(
         tgt_state, src, guess,
         transformation_epsilon=transformation_epsilon,
         max_iterations=max_iterations,
+        reassoc_displacement=reassoc_displacement,
     )

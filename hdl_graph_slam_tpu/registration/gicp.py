@@ -152,7 +152,7 @@ def _cost_at(T, corr: GicpCorr, src: GicpCloud, tgt: GicpCloud):
     return jnp.einsum("ni,nij,nj->", e, corr.Mw, e)
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "reassoc_displacement"))
 def align(
     tgt: GicpCloud,
     src: GicpCloud,
@@ -161,11 +161,19 @@ def align(
     transformation_epsilon=0.01,
     max_iterations: int = 64,
     lm_init_lambda_factor=1e-9,
+    reassoc_displacement: float = 0.0,
 ) -> AlignResult:
     """Align source onto target starting from ``guess`` (4x4).
 
     Follows fast_gicp's LM loop (see base.lm_loop).
+    reassoc_displacement > 0 carries correspondences across LM iterations
+    until the accumulated displacement bound exceeds that many meters (the
+    terminal pose still satisfies fast_gicp's fixed-point condition — see
+    base.lm_loop); 0.0 re-associates every iteration like fast_gicp.
     """
+    r_max = None
+    if reassoc_displacement:
+        r_max = jnp.sqrt(jnp.max(jnp.where(src.mask, jnp.sum(src.xyz * src.xyz, axis=-1), 0.0)))
     return lm_loop(
         associate=lambda T: _associate(T, src, tgt, max_corr_dist),
         linearize_at=lambda T, corr: _linearize_at(T, corr, src, tgt),
@@ -174,4 +182,6 @@ def align(
         max_iterations=max_iterations,
         transformation_epsilon=transformation_epsilon,
         lm_init_lambda_factor=lm_init_lambda_factor,
+        reassoc_displacement=reassoc_displacement,
+        r_max=r_max,
     )

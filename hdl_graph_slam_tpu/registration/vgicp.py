@@ -143,7 +143,7 @@ def _cost_at(T, corr: VgicpCorr, src: GicpCloud, tgt: VgicpTarget):
     return jnp.einsum("ni,nij,nj->", e, corr.Mw, e)
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "reassoc_displacement"))
 def align(
     tgt: VgicpTarget,
     src: GicpCloud,
@@ -151,7 +151,13 @@ def align(
     transformation_epsilon=0.01,
     max_iterations: int = 64,
     lm_init_lambda_factor=1e-9,
+    reassoc_displacement: float = 0.0,
 ) -> AlignResult:
+    """reassoc_displacement: see gicp.align / base.lm_loop (0.0 = fast_gicp
+    per-iteration re-association)."""
+    r_max = None
+    if reassoc_displacement:
+        r_max = jnp.sqrt(jnp.max(jnp.where(src.mask, jnp.sum(src.xyz * src.xyz, axis=-1), 0.0)))
     return lm_loop(
         associate=lambda T: _associate(T, src, tgt),
         linearize_at=lambda T, corr: _linearize_at(T, corr, src, tgt),
@@ -160,4 +166,6 @@ def align(
         max_iterations=max_iterations,
         transformation_epsilon=transformation_epsilon,
         lm_init_lambda_factor=lm_init_lambda_factor,
+        reassoc_displacement=reassoc_displacement,
+        r_max=r_max,
     )

@@ -102,6 +102,54 @@ class TestVGICP:
         _check_recovery("FAST_VGICP", atol_t=0.05, atol_r=0.02, resolution=1.0)
 
 
+class TestGatedReassociation:
+    """Displacement-gated correspondence carry (base.lm_loop
+    reassoc_displacement) must land on the same pose as fast_gicp's
+    per-iteration re-association: convergence is only declared on a fresh
+    association, so the fixed point is identical — only the path differs."""
+
+    def _pair(self, seed=0):
+        pts = synthetic_scene(3000, seed=seed)
+        T_true = np.asarray(true_transform(), dtype=np.float32)
+        src = cloudlib.from_numpy(pts)
+        tgt = cloudlib.from_numpy(pts @ T_true[:3, :3].T + T_true[:3, 3])
+        return src, tgt, T_true
+
+    @pytest.mark.parametrize("method", ["FAST_GICP", "FAST_VGICP"])
+    def test_pose_parity_vs_per_iteration_reassoc(self, method):
+        src, tgt, T_true = self._pair()
+        results = {}
+        for disp in (0.0, 0.1):
+            cfg = RegistrationConfig(
+                registration_method=method, reg_resolution=1.0, reg_reassoc_displacement=disp
+            )
+            reg = Registration(cfg, max_voxels=4096)
+            reg.set_target(tgt)
+            res = reg.align(src)
+            assert bool(res.converged), f"{method} disp={disp} did not converge"
+            results[disp] = np.asarray(res.transformation)
+        err = np.linalg.inv(results[0.0]) @ results[0.1]
+        t_err = np.linalg.norm(err[:3, 3])
+        r_err = float(se3.rotation_angle(jnp.asarray(err[:3, :3])))
+        assert t_err < 5e-3, f"{method}: gated/ungated translation differ by {t_err}"
+        assert r_err < 5e-3, f"{method}: gated/ungated rotation differ by {r_err}"
+        # and both recover the truth
+        err_true = np.linalg.inv(results[0.1]) @ T_true
+        assert np.linalg.norm(err_true[:3, 3]) < 0.05
+
+    def test_gated_from_cold_guess(self):
+        """A cold (identity) guess forces real motion — the displacement
+        budget must trigger mid-loop refreshes and still recover."""
+        src, tgt, T_true = self._pair(seed=3)
+        cfg = RegistrationConfig(registration_method="FAST_GICP", reg_reassoc_displacement=0.1)
+        reg = Registration(cfg, max_voxels=4096)
+        reg.set_target(tgt)
+        res = reg.align(src)  # identity guess; truth is ~0.37 m + 0.09 rad away
+        err = np.linalg.inv(np.asarray(res.transformation)) @ T_true
+        assert np.linalg.norm(err[:3, 3]) < 0.05
+        assert bool(res.converged)
+
+
 class TestNDT:
     def test_recover_transform(self):
         _check_recovery("NDT_OMP", atol_t=0.1, atol_r=0.05, resolution=2.0)
