@@ -1,0 +1,152 @@
+"""Full-SLAM end-to-end throughput: odometry + floor + loop closure +
+graph optimization, host orchestration included.
+
+bench.py measures the device-resident odometry window (the per-frame hot
+path); this measures the COMPLETE system the reference runs — prefilter,
+scan matching, floor detection, keyframe admission, batched loop-candidate
+matching, robustified LM graph optimization on the backend cycle — on a
+multi-lap square loop course with known ground truth. Backend work runs on
+the reference's own cadence (graph_update_interval), so the honest metric
+is wall-clock frames/s of the whole pipeline plus the final ATE.
+
+Per-frame host dispatch through the axon tunnel dominates the frontend here
+(PERF.md "Measurement discipline" — that per-frame variance is why bench.py
+windows 256 frames per dispatch); the number below is therefore a LOWER
+bound on one-chip full-SLAM throughput, still measured against the
+reference's 10 Hz sensor-rate contract.
+"""
+
+from __future__ import annotations
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from hdl_graph_slam_tpu.core.config import RegistrationConfig, SlamConfig
+    from hdl_graph_slam_tpu.pipeline import SlamPipeline
+    from tests.test_pipeline import drive_square, make_world, scan_at
+
+    world = make_world(n=12000)
+    # two laps of the square: frame count ~2x the golden course, guaranteed
+    # revisits for the loop detector
+    lap = drive_square(side=4.5, step=1.5, turn_steps=4)
+    poses = lap + lap[1:]
+
+    reg = RegistrationConfig(registration_method="FAST_GICP", reg_reassoc_displacement=0.1)
+    cfg = SlamConfig()
+    cfg.prefilter.downsample_resolution = 0.3
+    cfg.prefilter.outlier_removal_method = "NONE"
+    cfg.odometry.registration = reg
+    cfg.odometry.keyframe_delta_trans = 1.5
+    cfg.odometry.keyframe_delta_time = 1e9
+    cfg.backend.keyframe_delta_trans = 1.5
+    cfg.backend.fix_first_node = True
+    cfg.backend.fix_first_node_stddev = "10 10 10 1 1 1"
+    cfg.backend.g2o_solver_num_iterations = 64
+    cfg.backend.graph_update_interval = 3.0  # reference cadence (stream time)
+    cfg.loop.registration = reg
+    cfg.loop.distance_thresh = 3.0
+    cfg.loop.accum_distance_thresh = 8.0
+    cfg.loop.min_edge_interval = 4.0
+    cfg.loop.fitness_score_thresh = 0.5
+    cfg.floor.enabled = True
+    cfg.floor.sensor_height = 1.8
+    cfg.floor.floor_pts_thresh = 100
+
+    rng = np.random.default_rng(0)
+    frames = []
+    truth = []
+    for i, pose in enumerate(poses):
+        sensor = pose.copy()
+        sensor[2, 3] += 1.8
+        truth.append(sensor)
+        scan = scan_at(world, pose, seed=i, n_keep=3000)
+        frames.append(scan + rng.normal(0, 0.01, scan.shape).astype(np.float32))
+
+    # warm pass over the FULL course: the graph grows through the same
+    # pose/edge capacity buckets (graph/types.py quantums), so every program
+    # the timed run needs is compiled here. Through the remote-compile
+    # tunnel each new bucket costs minutes; a deployment at fixed capacity
+    # pays this once at bring-up (persistent cache), so the steady-state
+    # number is the meaningful one. Cold wall is reported alongside.
+    t0 = time.perf_counter()
+    warm = SlamPipeline(cfg, cloud_capacity=4096, device_odometry=True)
+    for i, scan in enumerate(frames):
+        warm.process_frame(float(i), scan)
+    warm.finish()
+    cold_dt = time.perf_counter() - t0
+
+    pipe = SlamPipeline(cfg, cloud_capacity=4096, device_odometry=True)
+    t0 = time.perf_counter()
+    for i, scan in enumerate(frames):
+        pipe.process_frame(float(i), scan)
+    pipe.finish()
+    dt = time.perf_counter() - t0
+
+    def ate_of(slam):
+        est = slam.trajectory()
+        errs = []
+        for stamp, T in est:
+            Tt = truth[int(round(stamp))]
+            errs.append(np.linalg.norm(np.asarray(T)[:3, 3] - Tt[:3, 3]))
+        return len(est), (float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan"))
+
+    n_kf, ate = ate_of(pipe.slam)
+    print(json.dumps({
+        "metric": "e2e_full_slam_fps_sync",
+        "value": round(len(frames) / dt, 2),
+        "unit": "frames/s (prefilter+odometry+floor+loops+optimize, synchronous host loop)",
+        "frames": len(frames),
+        "keyframes": n_kf,
+        "ate_rmse_m": round(ate, 4),
+        "cold_wall_s": round(cold_dt, 1),
+        "vs_baseline": round(len(frames) / dt / 10.0, 2),
+    }), flush=True)
+
+    # deployment architecture: backend cycles in its own thread (the
+    # reference's timer-decoupled nodelet — pipeline.AsyncBackend), the
+    # frontend is never blocked by loop matching / graph optimization
+    from hdl_graph_slam_tpu.pipeline import AsyncBackend
+
+    import dataclasses as _dc
+
+    cfg_async = _dc.replace(cfg, backend=_dc.replace(cfg.backend, graph_update_interval=1e18))
+    pipe2 = SlamPipeline(cfg_async, cloud_capacity=4096, device_odometry=True)
+    t0 = time.perf_counter()
+    with AsyncBackend(pipe2.slam, interval=1.0):
+        for i, scan in enumerate(frames):
+            pipe2.process_frame(float(i), scan)
+    front_dt = time.perf_counter() - t0
+    pipe2.slam.flush()
+    total_dt = time.perf_counter() - t0
+    n_kf2, ate2 = ate_of(pipe2.slam)
+    print(json.dumps({
+        "metric": "e2e_full_slam_fps_async_backend",
+        "value": round(len(frames) / front_dt, 2),
+        "unit": "frames/s (frontend, backend cycling concurrently in a thread)",
+        "frames": len(frames),
+        "keyframes": n_kf2,
+        "ate_rmse_m": round(ate2, 4),
+        "total_wall_s": round(total_dt, 1),
+        "vs_baseline": round(len(frames) / front_dt / 10.0, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

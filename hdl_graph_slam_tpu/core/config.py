@@ -236,6 +236,46 @@ def preset_kitti() -> SlamConfig:
     return cfg
 
 
+def preset_imu() -> SlamConfig:
+    """launch/hdl_graph_slam_imu.launch: IMU-deskewed NDT odometry (coarse
+    10 m cells) with the msf EKF init-guess frontend enabled, GICP loop
+    matching, 1.5 s backend cadence, floor detection off by default (the
+    launch's enable_floor_detection arg defaults false)."""
+    cfg = SlamConfig()
+    cfg = _apply(
+        cfg,
+        prefilter=dict(
+            deskewing=True, scan_period=0.1, use_distance_filter=True,
+            distance_near_thresh=0.2, distance_far_thresh=100.0,
+            downsample_method="VOXELGRID", downsample_resolution=0.1,
+            outlier_removal_method="RADIUS", radius_radius=0.5, radius_min_neighbors=2,
+        ),
+        odometry=dict(
+            enable_imu_frontend=True, keyframe_delta_trans=0.25,
+            keyframe_delta_angle=2.0, keyframe_delta_time=10000.0,
+            registration=RegistrationConfig(
+                registration_method="NDT_OMP", reg_resolution=10.0,
+                reg_nn_search_method="DIRECT7",
+            ),
+        ),
+        loop=dict(
+            distance_thresh=1.0, accum_distance_thresh=3.0,
+            min_edge_interval=1.0, fitness_score_thresh=0.5,
+            registration=RegistrationConfig(registration_method="GICP", reg_resolution=1.0),
+        ),
+        backend=dict(
+            keyframe_delta_trans=1.0, keyframe_delta_angle=2.0,
+            fix_first_node=True, fix_first_node_stddev="10 10 10 1 1 1",
+            fix_first_node_adaptive=True,
+            gps_edge_stddev_xy=20.0, gps_edge_stddev_z=5.0,
+            imu_orientation_edge_stddev=1.0, imu_acceleration_edge_stddev=1.0,
+            graph_update_interval=1.5, map_cloud_update_interval=3.0,
+            map_cloud_resolution=0.01,
+        ),
+    )
+    return cfg
+
+
 PRESETS = {
     "base": preset_base,
     "indoor": preset_indoor,
@@ -243,4 +283,5 @@ PRESETS = {
     "outdoor": preset_outdoor,
     "hdl_400": preset_outdoor,
     "kitti": preset_kitti,
+    "imu": preset_imu,
 }

@@ -27,10 +27,12 @@ def main(argv=None) -> int:
     ap.add_argument("--navsat-topic", default="/gps/navsat")
     ap.add_argument("--nmea-topic", default="/gpsimu_driver/nmea_sentence")
     ap.add_argument("--imu-topic", default="/gpsimu_driver/imu_data")
+    from .core.config import PRESETS as _PRESETS
+
     ap.add_argument(
         "--preset", default="base",
-        choices=["base", "indoor", "hdl_501", "outdoor", "hdl_400", "kitti"],
-        help="launch-preset analog (hdl_graph_slam{,_501,_400,_kitti}.launch)",
+        choices=sorted(_PRESETS),
+        help="launch-preset analog (hdl_graph_slam{,_501,_400,_kitti,_imu}.launch)",
     )
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out-traj", help="write optimized trajectory (TUM format)")

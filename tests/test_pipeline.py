@@ -560,3 +560,36 @@ class TestWindowedPipeline:
             np.testing.assert_allclose(T1, T2, atol=2e-3)
         for (s1, T1), (s2, T2) in zip(r_seq.odometry_trajectory, r_win.odometry_trajectory):
             np.testing.assert_allclose(T1, T2, atol=1e-4)
+
+
+class TestImuPreset:
+    """launch/hdl_graph_slam_imu.launch analog: IMU-deskewed NDT odometry
+    with the EKF init-guess frontend + GICP loop matching."""
+
+    def test_preset_values(self):
+        from hdl_graph_slam_tpu.core.config import PRESETS
+
+        cfg = PRESETS["imu"]()
+        assert cfg.prefilter.deskewing and cfg.prefilter.scan_period == 0.1
+        assert cfg.odometry.enable_imu_frontend
+        assert cfg.odometry.registration.registration_method == "NDT_OMP"
+        assert cfg.odometry.registration.reg_resolution == 10.0
+        assert cfg.loop.registration.registration_method == "GICP"
+        assert cfg.backend.graph_update_interval == 1.5
+        assert cfg.backend.gps_edge_stddev_xy == 20.0
+
+    def test_runs_with_imu(self):
+        from hdl_graph_slam_tpu.core.config import PRESETS
+        from hdl_graph_slam_tpu.pipeline import SlamPipeline
+
+        cfg = PRESETS["imu"]()
+        cfg.floor.enabled = False
+        pipe = SlamPipeline(cfg, cloud_capacity=4096)
+        world = make_world(n=8000)
+        poses = drive_square(side=4.0, step=1.0)[:3]
+        for i, p in enumerate(poses):
+            pipe.add_imu(float(i) - 0.05, orientation_wxyz=(1.0, 0, 0, 0),
+                         acceleration=(0.0, 0.0, 9.81), angular_velocity=(0.0, 0.0, 0.0))
+            pipe.process_frame(float(i), scan_at(world, p, seed=i, n_keep=2500))
+        pipe.finish()
+        assert len(pipe.odometry_trajectory) == 3
