@@ -49,7 +49,7 @@ def main():
 
     for G in (256, V.dense_grid_size_for(2.0)):
         tgt_n = ndt.preprocess_target(tgt_c, 2.0, max_voxels=8192, grid_size=G)
-        for reassoc in (0.0, 0.25):
+        for reassoc in (0.0, 0.5):  # meters; 0.5 = a quarter cell at res 2.0
             fn = jax.jit(
                 lambda t, s, g, _r=reassoc: ndt.align(
                     t, s, g, nn_search_method="DIRECT7", reassoc_displacement=_r

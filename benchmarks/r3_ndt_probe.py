@@ -91,7 +91,7 @@ def main():
         K = offsets.shape[0]
         idx, found = idx.reshape(-1, K), found.reshape(-1, K)
         means, icovs = ndt._gather_mean_icov(tgt, idx)
-        g, H = ndt.score_derivatives(tgt.d1, tgt.d2, xyz, src.mask, means, icovs, found)
+        g, H, _score = ndt.score_derivatives(tgt.d1, tgt.d2, xyz, src.mask, means, icovs, found)
         return jnp.sum(g) + jnp.sum(H)
 
     def trials_with_assoc(xyz):

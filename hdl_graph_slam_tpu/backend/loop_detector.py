@@ -184,6 +184,7 @@ class LoopDetector:
                 max_corr_dist=c.reg_max_correspondence_distance,
                 transformation_epsilon=c.reg_transformation_epsilon,
                 max_iterations=c.reg_maximum_iterations,
+                reassoc_displacement=c.reg_reassoc_displacement,
             )
             score = knn.fitness_score(
                 jnp.where(tgt_state.mask[:, None], tgt_state.xyz, 1.0e6),

@@ -42,14 +42,15 @@ class RegistrationConfig:
     reg_use_reciprocal_correspondences: bool = False
     reg_max_optimizer_iterations: int = 20
     reg_nn_search_method: str = "DIRECT7"  # KDTREE | DIRECT1 | DIRECT7 (NDT)
-    # TPU-native knob (no reference analog): GICP/VGICP carry correspondences
-    # across LM iterations until the accumulated per-point displacement bound
-    # exceeds this many meters (0.0 = fast_gicp's per-iteration
-    # re-association). The terminal pose always satisfies the same
-    # fixed-point condition — convergence is only declared on a fresh
-    # association (registration/base.py lm_loop). Saves the per-iteration
-    # brute-force NN + Mahalanobis build on TPU; 0.1 is a safe setting
-    # (trajectory-parity-tested in tests/test_registration.py).
+    # TPU-native knob (no reference analog): carry the correspondence /
+    # NDT-cell association across optimizer iterations until the accumulated
+    # per-point displacement bound exceeds this many meters (0.0 = the
+    # reference's per-iteration re-association). The terminal pose always
+    # satisfies the same fixed-point condition — convergence is only
+    # declared on a fresh association (registration/base.py lm_loop,
+    # registration/ndt.py). Saves the per-iteration NN / Mahalanobis /
+    # voxel-gather work on TPU; 0.1 (GICP) and 0.5 (NDT, 2 m cells) are
+    # endpoint-parity-tested settings (tests/test_registration.py).
     reg_reassoc_displacement: float = 0.0
 
 

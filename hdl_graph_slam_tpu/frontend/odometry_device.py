@@ -106,6 +106,7 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
             transformation_epsilon=cfg.reg_transformation_epsilon,
             max_iterations=cfg.reg_maximum_iterations,
             nn_search_method=cfg.reg_nn_search_method,
+            reassoc_displacement=cfg.reg_reassoc_displacement,
         )
     return prep, make_tgt, align
 

@@ -152,7 +152,10 @@ def dense_grid_size_for(resolution: float, span_m: float = DENSE_GRID_SPAN_M) ->
     """Static (python) grid size covering ``span_m`` meters per axis at
     ``resolution``: random gathers from a 128^3 grid measured ~25% faster
     than from the 256^3 one on TPU (8 MB vs 64 MB table), so don't pay for
-    cells the clouds can't reach. Power-of-two in [64, DENSE_GRID_SIZE]."""
+    cells the clouds can't reach. Power-of-two in [64, DENSE_GRID_SIZE];
+    the DENSE_GRID_SIZE cap wins below resolution 1.0 — there coverage is
+    only 256*resolution meters (the legacy fixed-256 behavior; cells beyond
+    it fall back to not-found, ops/voxel.py build_dense_grid)."""
     import math
 
     need = math.ceil(span_m / float(resolution))

@@ -163,8 +163,11 @@ def lm_loop(
         def body(carry):
             s, (corr, disp) = carry
             s2, d, accept = lm_step(s, corr)
+            # per-point displacement bound of exp(d) applied to T: points sit
+            # at T·p, so |exp(d)Tp - Tp| <= |d_v| + |d_w| * (r_max + |t|)
+            radius = r_max + jnp.linalg.norm(s.T[:3, 3])
             step_disp = jnp.where(
-                accept, jnp.linalg.norm(d[:3]) + jnp.linalg.norm(d[3:]) * r_max, 0.0
+                accept, jnp.linalg.norm(d[:3]) + jnp.linalg.norm(d[3:]) * radius, 0.0
             ).astype(dtype)
             disp_next = disp + step_disp
             stale = disp > 0.0
@@ -177,8 +180,9 @@ def lm_loop(
                 lambda: (associate(s2.T), jnp.asarray(0.0, dtype)),
                 lambda: (corr, disp_next),
             )
-            s3 = s2._replace(converged=conv, num_inliers=corr_n.num)
-            return (s3, (corr_n, disp_n))
+            # num_inliers stays s2's (the correspondences actually linearized
+            # this step); a just-refreshed corr_n is only *used* next step
+            return (s2._replace(converged=conv), (corr_n, disp_n))
 
         final, _ = jax.lax.while_loop(cond, body, (init, (corr0, jnp.asarray(0.0, dtype))))
     return AlignResult(

@@ -102,6 +102,7 @@ class Registration:
                 transformation_epsilon=c.reg_transformation_epsilon,
                 max_iterations=c.reg_maximum_iterations,
                 nn_search_method=c.reg_nn_search_method,
+                reassoc_displacement=c.reg_reassoc_displacement,
             )
         else:
             result = icp.align(

@@ -261,7 +261,7 @@ def align(
     nn_search_method: str = "DIRECT7",
     num_line_search: int = 10,
     line_search_fixed_cells: bool = True,
-    reassoc_displacement=0.25,
+    reassoc_displacement=0.0,
 ) -> AlignResult:
     """Newton-optimize the NDT mixture score from ``guess``.
 
@@ -271,17 +271,19 @@ def align(
     consistent comparison — no mixed-provenance scores). The association is
     re-gathered (pack+lookup+gather, the most expensive stage of the Newton
     body on TPU) only when the accumulated per-point displacement bound
-    since the last refresh exceeds ``reassoc_displacement * resolution``
-    (displacement bound per step: alpha * (|v| + |w| * r_max), r_max = the
-    farthest source point) — cell membership physically cannot have changed
-    for points that moved far less than a cell — or when the loop is about
-    to declare convergence on a stale association: then it refreshes and
-    re-checks instead, so the final pose always survives a fresh-association
-    line search. reassoc_displacement=0.0 refreshes on every accepted step
-    (the strictest setting). PCL's More-Thuente search re-associates every
-    trial evaluation (ndt.hpp computeStepLengthMT); pass
-    line_search_fixed_cells=False for that trial-exact parity (DIRECT7 cost
-    scales with the trial count: ~11 cell gathers per Newton iteration).
+    since the last refresh exceeds ``reassoc_displacement`` meters
+    (displacement bound per step: alpha * (|v| + |w| * (r_max + |t|)),
+    r_max = the farthest source point) — or when the loop is about to
+    declare convergence on a stale association: then it refreshes and
+    re-checks instead, so the final pose always survives a
+    fresh-association line search. The default 0.0 refreshes on every
+    accepted step (strictest; config: reg_reassoc_displacement); 0.5 m at
+    the 2.0 m default cell size measured 10.5 -> 7.6 ms on an 8k-pt TPU
+    align with identical endpoints (PERF.md round 3). PCL's More-Thuente
+    search re-associates every trial evaluation (ndt.hpp
+    computeStepLengthMT); pass line_search_fixed_cells=False for that
+    trial-exact parity (DIRECT7 cost scales with the trial count: ~11 cell
+    gathers per Newton iteration).
     """
     if nn_search_method.upper() == "KDTREE":
         gather = lambda pts, mask: _gather_cells_kdtree(tgt, pts, mask)
@@ -294,7 +296,7 @@ def align(
     # farthest valid source point: converts a unit twist into a per-point
     # displacement bound for the re-association gate
     r_max = jnp.sqrt(jnp.max(jnp.where(src_mask, jnp.sum(src_xyz * src_xyz, axis=-1), 0.0)))
-    disp_budget = jnp.asarray(reassoc_displacement, dtype) * tgt.voxels.resolution.astype(dtype)
+    disp_budget = jnp.asarray(reassoc_displacement, dtype)
 
     def full_score(T):
         """Score with a FRESH association at T; returns the association so
@@ -404,7 +406,9 @@ def align(
             stale = s.disp > 0.0
             would_conv = alpha < transformation_epsilon
             conv = would_conv & jnp.logical_not(stale)
-            step_disp = alpha * (jnp.linalg.norm(ddir[:3]) + jnp.linalg.norm(ddir[3:]) * r_max)
+            # points sit at T·p: |exp(ad)Tp - Tp| <= a(|v| + |w|(r_max+|t|))
+            radius = r_max + jnp.linalg.norm(s.T[:3, 3])
+            step_disp = alpha * (jnp.linalg.norm(ddir[:3]) + jnp.linalg.norm(ddir[3:]) * radius)
             disp_next = s.disp + step_disp
             refresh = (would_conv & stale) | (disp_next > disp_budget)
 
