@@ -1,0 +1,103 @@
+"""Windowed device-resident odometry fps per registration method.
+
+bench.py's headline is the GICP window; this measures the same 256-frame
+single-program pipeline with VGICP, NDT (DIRECT7) and ICP so every
+reference method has a recorded end-to-end TPU number. Same world/drive and
+timing discipline as bench.py (host-materialized results, distinct-input
+warmup).
+"""
+
+from __future__ import annotations
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from hdl_graph_slam_tpu.core import cloud as cloudlib
+    from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig
+    from hdl_graph_slam_tpu.frontend.window import OdometryWindow, stack_scans
+
+    rng = np.random.default_rng(0)
+    n_world = 60000
+    floor = np.stack(
+        [rng.uniform(-60, 60, n_world // 2), rng.uniform(-60, 60, n_world // 2), rng.normal(0, 0.02, n_world // 2)], 1
+    )
+    walls = np.stack(
+        [rng.uniform(-60, 60, n_world // 2), rng.normal(25, 0.05, n_world // 2), rng.uniform(0, 5, n_world // 2)], 1
+    )
+    half = n_world // 4
+    walls[half:] = walls[half:][:, [1, 0, 2]]
+    world = np.concatenate([floor, walls]).astype(np.float32)
+
+    def scan_at(x):
+        local = world - np.array([x, 0.0, 0.0], dtype=np.float32)
+        d = np.linalg.norm(local, axis=1)
+        keep = (d > 1.0) & (d < 50.0)
+        pts = local[keep]
+        idx = rng.choice(pts.shape[0], min(15000, pts.shape[0]), replace=False)
+        return pts[idx]
+
+    step = 0.08
+    n_frames = 256
+    raw_capacity = 16384
+    scans = [scan_at(step * i) for i in range(n_frames + 1)]
+    xyz_np, mask_np = stack_scans(scans[1:], capacity=raw_capacity)
+    stamps_np = (0.1 * np.arange(1, n_frames + 1)).astype(np.float32)
+
+    methods = {
+        "VGICP": RegistrationConfig(registration_method="FAST_VGICP", reg_resolution=1.0),
+        "NDT": RegistrationConfig(registration_method="NDT_OMP", reg_resolution=2.0,
+                                  reg_nn_search_method="DIRECT7", reg_reassoc_displacement=0.5),
+        "ICP": RegistrationConfig(registration_method="ICP"),
+    }
+    for name, reg in methods.items():
+        win = OdometryWindow(
+            OdometryConfig(keyframe_delta_trans=2.0, keyframe_delta_time=1e9, registration=reg),
+            prefilter_cfg=PrefilterConfig(downsample_resolution=0.2, outlier_removal_method="NONE"),
+            out_capacity=8192,
+        )
+        xyz = jax.device_put(xyz_np)
+        mask = jax.device_put(mask_np)
+        stamps = jax.device_put(stamps_np)
+        state0 = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=raw_capacity))
+        state0 = jax.block_until_ready(state0)
+        t_c = time.perf_counter()
+        warm = win.run(state0, jnp.flip(xyz, 0), jnp.flip(mask, 0), stamps)
+        np.asarray(warm[1])
+        compile_s = time.perf_counter() - t_c
+
+        t0 = time.perf_counter()
+        state, odoms, status = win.run(state0, xyz, mask, stamps)
+        odoms = np.asarray(odoms)
+        conv = float(np.mean(np.asarray(status["converged"])))
+        dt = time.perf_counter() - t0
+        final_x = float(odoms[-1][0, 3])
+        print(json.dumps({
+            "metric": f"windowed_odometry_{name.lower()}_fps",
+            "value": round(n_frames / dt, 1),
+            "ms_per_frame": round(dt / n_frames * 1e3, 2),
+            "converged_frac": round(conv, 3),
+            "final_x_err_m": round(abs(final_x - step * n_frames), 3),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,11 @@ def lm_loop(
     taken. 0.0 (default) re-associates every iteration like fast_gicp —
     including at an unchanged pose after a rejected trial, where it is
     recomputing an identical result.
+
+    Under vmap (e.g. the batched loop-closure candidates) the lax.cond
+    lowers to a select that evaluates BOTH branches, so gating saves nothing
+    there — it stays correct, but per-candidate associate() runs every
+    iteration regardless of the budget.
     """
     from ..core import se3  # local import to avoid cycle
 

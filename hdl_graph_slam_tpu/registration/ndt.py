@@ -316,6 +316,14 @@ def align(
         ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
         return found, means, icovs, ninl
 
+    def fresh_assoc_scored(T):
+        moved = se3.transform_points(T, src_xyz)
+        idx, found = gather(moved, src_mask)
+        means, icovs = _gather_mean_icov(tgt, idx)
+        ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
+        sc = _score(tgt, moved, src_mask, means, icovs, found)
+        return sc, found, means, icovs, ninl
+
     def cond(s: _NewtonState):
         return (s.it < max_iterations) & jnp.logical_not(s.converged)
 
@@ -327,28 +335,39 @@ def align(
 
         g, H, score0 = score_derivatives(tgt.d1, tgt.d2, moved0, src_mask, means, icovs, found)
         # PD correction (PCL adds a multiple of I when H has negative evals).
-        # The margin is proportional to the spectrum scale so the corrected
-        # system stays well-conditioned in f32 — a fixed tiny margin leaves a
-        # near-singular direction and the solve can emit an ascent direction.
-        # Shift ladder replacing the exact 6x6 eigvalsh (a long serial QDWH
-        # chain on TPU): solve with ascending diagonal shifts between the
-        # light margin and the guaranteed-PD Gershgorin shift (lb <= min
-        # eig), each via the unrolled Cholesky whose minimum pivot certifies
-        # PD, and keep the least-damped certified step. The top rung always
-        # certifies, so d is always a descent direction of a PD model;
-        # measured on TPU: Gershgorin-only overdamped 3 -> 15 Newton iters,
-        # the ladder restores near-exact-shift behavior at ~0.1 us/rung.
+        # The base margin is MARQUARDT-STYLE — proportional to each diagonal
+        # entry (H + m*diag(H)) — NOT a multiple of the spectral scale: the
+        # NDT Hessian's rotation block scales like r_max^2 over the
+        # translation block (~1e5 ratio at 50 m range), so a spectral-scale
+        # margin*I damps translation directions by orders of magnitude over
+        # their true curvature and the Newton step collapses (observed: a
+        # 0.4 mm step against an 80 mm offset, "converged" without moving —
+        # windowed NDT odometry silently tracked nothing). Relative damping
+        # preserves per-direction conditioning; the ladder's Gershgorin
+        # rungs stay ABSOLUTE shifts, which is what a genuinely indefinite H
+        # needs. Each rung is solved by the unrolled Cholesky whose minimum
+        # pivot certifies PD; the least-damped certified step wins, and the
+        # top rung (full Gershgorin) always certifies, so d is always a
+        # descent direction of a PD model.
         from ..ops.small_solve import gershgorin_min, solve_spd_checked
 
         scale = jnp.max(jnp.sum(jnp.abs(H), axis=-1))  # >= spectral radius
-        margin = 1e-3 * jnp.maximum(scale, 1.0)
+        dH = jnp.abs(jnp.diag(H))
+        if nn_search_method.upper() == "KDTREE":
+            # KDTREE's support set (nearest centroids, radius-gated) is
+            # discontinuous in pose, so its score surface is bumpy; the
+            # conservative global margin's short steps stay in the global
+            # basin (relative damping measured terr 0.0013 -> 0.18 here)
+            margin = 1e-3 * jnp.maximum(scale, 1.0) * jnp.ones_like(dH)
+        else:
+            margin = 1e-3 * jnp.maximum(dH, 1e-9 * jnp.maximum(scale, 1.0))
         eye6 = jnp.eye(6, dtype=dtype)
         neg = jnp.maximum(-gershgorin_min(H), 0.0)
         tol = 1e-9 * jnp.maximum(scale, 1.0)
         d = None
         taken = None
         for f in (0.0, 1.0 / 27.0, 1.0 / 9.0, 1.0 / 3.0, 1.0):
-            x, mp = solve_spd_checked(H + (margin + f * neg) * eye6, g)
+            x, mp = solve_spd_checked(H + jnp.diag(margin) + (f * neg) * eye6, g)
             ok = mp > tol
             if d is None:
                 d, taken = x, ok
@@ -395,10 +414,31 @@ def align(
             current_score = s.score
 
         improve = best_score < current_score
+        if line_search_fixed_cells:
+            # RESCUE: a failed fixed-association line search on a fresh
+            # association, with real (>= epsilon) step candidates available,
+            # re-scores the best candidate under a FRESH gather before
+            # giving up — the fixed set is pessimistic when the step brings
+            # new cells into range (KDTREE's nearest-centroid sets change
+            # under the step; measured terr 0.0013 -> 0.184 without this).
+            # base < epsilon means Newton itself proposes no real step, so
+            # the extra gather is skipped at the true convergence iteration.
+            fresh0 = s.disp == 0.0
+            need_rescue = jnp.logical_not(improve) & fresh0 & (alphas[0] >= transformation_epsilon)
+            rescue_score, r_found, r_means, r_icovs, r_ninl = jax.lax.cond(
+                need_rescue,
+                lambda: fresh_assoc_scored(T_best),
+                lambda: (jnp.asarray(jnp.inf, dtype), s.found, s.means, s.icovs, s.num_inliers),
+            )
+            rescued = need_rescue & (rescue_score < current_score)
+            improve = improve | rescued
+        else:
+            rescued = jnp.asarray(False)
         alpha = jnp.where(improve, alphas[best], 0.0)
         T_new = jnp.where(improve, T_best, s.T)
         new_score = jnp.where(improve, best_score, current_score)
         if line_search_fixed_cells:
+            new_score = jnp.where(rescued, rescue_score, new_score)
             # converged when the applied update is below epsilon (PCL:
             # incremental transform norm < transformation_epsilon) — but only
             # trusted on a fresh association (disp == 0); a vanishing step on
@@ -410,12 +450,19 @@ def align(
             radius = r_max + jnp.linalg.norm(s.T[:3, 3])
             step_disp = alpha * (jnp.linalg.norm(ddir[:3]) + jnp.linalg.norm(ddir[3:]) * radius)
             disp_next = s.disp + step_disp
-            refresh = (would_conv & stale) | (disp_next > disp_budget)
+            # a rescued step already carries its fresh association at T_new
+            refresh = jnp.logical_not(rescued) & ((would_conv & stale) | (disp_next > disp_budget))
 
             found_n, means_n, icovs_n, ninl, disp_n = jax.lax.cond(
                 refresh,
                 lambda: fresh_assoc(T_new) + (jnp.asarray(0.0, dtype),),
-                lambda: (s.found, s.means, s.icovs, s.num_inliers, disp_next),
+                lambda: (
+                    jnp.where(rescued, r_found, s.found),
+                    jnp.where(rescued, r_means, s.means),
+                    jnp.where(rescued, r_icovs, s.icovs),
+                    jnp.where(rescued, r_ninl, s.num_inliers),
+                    jnp.where(rescued, 0.0, disp_next).astype(dtype),
+                ),
             )
         else:
             conv = alpha < transformation_epsilon

@@ -419,3 +419,67 @@ class TestPallasNN:
         i2, d2 = pnn.nn1_pallas(q, t, interpret=True)
         assert float(jnp.mean((i_ref == i2).astype(jnp.float32))) > 0.999
         np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref), rtol=1e-4, atol=1e-5)
+
+
+class TestDenseGridSizing:
+    def test_covers_span_at_coarse_resolutions(self):
+        from hdl_graph_slam_tpu.ops.voxel import DENSE_GRID_SIZE, dense_grid_size_for
+
+        assert dense_grid_size_for(2.0) == 128   # 256 m at 2 m cells
+        assert dense_grid_size_for(10.0) == 64   # cap at the 64 floor
+        assert dense_grid_size_for(1.0) == 256
+        # below 1.0 the DENSE_GRID_SIZE cap wins (legacy 256*res coverage)
+        assert dense_grid_size_for(0.5) == DENSE_GRID_SIZE
+        for res in (0.5, 1.0, 2.0, 4.0, 10.0):
+            g = dense_grid_size_for(res)
+            assert 64 <= g <= DENSE_GRID_SIZE and (g & (g - 1)) == 0
+
+
+class TestBatchedMapGeneration:
+    """MapCloudGenerator's one-program fast path (equal-capacity snapshots)
+    must produce exactly the per-snapshot fallback's voxel centers."""
+
+    def test_fast_path_matches_fallback(self):
+        import numpy as np
+        from hdl_graph_slam_tpu.backend.keyframe import KeyFrameSnapshot
+        from hdl_graph_slam_tpu.backend.map_cloud import MapCloudGenerator
+        from hdl_graph_slam_tpu.core import cloud as cloudlib
+
+        rng = np.random.default_rng(3)
+        snaps = []
+        for k in range(5):
+            pts = rng.uniform(-10, 10, (700 + 50 * k, 3)).astype(np.float32)
+            pose = np.eye(4)
+            pose[0, 3] = 2.0 * k
+            pose[1, 3] = -0.5 * k
+            snaps.append(KeyFrameSnapshot(pose=pose, cloud=cloudlib.from_numpy(pts, capacity=1024)))
+        g = MapCloudGenerator()
+        fast = g.generate(snaps, resolution=0.5)
+
+        # force the per-snapshot fallback by making capacities differ
+        mixed = list(snaps)
+        c0 = mixed[0].cloud
+        mixed[0] = KeyFrameSnapshot(
+            pose=mixed[0].pose,
+            cloud=cloudlib.from_numpy(np.asarray(c0.xyz)[np.asarray(c0.mask)], capacity=2048),
+        )
+        slow = g.generate(mixed, resolution=0.5)
+
+        fa = fast[np.lexsort(fast.T)]
+        sl = slow[np.lexsort(slow.T)]
+        assert fa.shape == sl.shape
+        np.testing.assert_allclose(fa, sl, atol=1e-5)
+
+    def test_raw_resolution_zero(self):
+        import numpy as np
+        from hdl_graph_slam_tpu.backend.keyframe import KeyFrameSnapshot
+        from hdl_graph_slam_tpu.backend.map_cloud import MapCloudGenerator
+        from hdl_graph_slam_tpu.core import cloud as cloudlib
+
+        rng = np.random.default_rng(4)
+        snaps = [
+            KeyFrameSnapshot(pose=np.eye(4), cloud=cloudlib.from_numpy(rng.uniform(-5, 5, (600, 3)).astype(np.float32), capacity=1024))
+            for _ in range(3)
+        ]
+        m = MapCloudGenerator().generate(snaps, resolution=0.0)
+        assert m.shape == (1800, 3)

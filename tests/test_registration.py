@@ -344,6 +344,40 @@ class TestNdtAnalyticDerivatives:
         np.testing.assert_allclose(np.asarray(score), np.asarray(loss(zero)), rtol=1e-6)
 
 
+class TestNdtSmallStepLargeScene:
+    """Regression: a small translation against far points. The NDT Hessian's
+    rotation block scales like r_max^2 over the translation block (~1e5 at
+    50 m range); the old spectral-scale PD margin damped the translation
+    directions by orders of magnitude over their true curvature, so the
+    Newton step collapsed to sub-epsilon and align() declared convergence
+    WITHOUT MOVING (windowed NDT odometry silently tracked nothing). The
+    Marquardt-style relative margin must recover the offset."""
+
+    def test_recovers_8cm_offset_at_50m_range(self):
+        from hdl_graph_slam_tpu.registration import ndt as ndtmod
+
+        rng = np.random.default_rng(7)
+        n = 8192
+        floor = np.stack(
+            [rng.uniform(-50, 50, n // 2), rng.uniform(-50, 50, n // 2), rng.normal(0, 0.02, n // 2)], 1
+        )
+        walls = np.stack(
+            [rng.uniform(-50, 50, n // 2), rng.normal(25, 0.05, n // 2), rng.uniform(0, 4, n // 2)], 1
+        )
+        walls[n // 4:] = walls[n // 4:][:, [1, 0, 2]]
+        pts = np.concatenate([floor, walls]).astype(np.float32)
+        offset = np.array([0.08, 0.0, 0.0], np.float32)
+        src = cloudlib.from_numpy(pts)
+        tgt = cloudlib.from_numpy(pts + offset)
+
+        tgt_n = ndtmod.preprocess_target(tgt, 2.0, max_voxels=8192)
+        res = ndtmod.align(tgt_n, src, jnp.eye(4, dtype=jnp.float32), nn_search_method="DIRECT7")
+        t_est = np.asarray(res.transformation)[:3, 3]
+        err = np.linalg.norm(t_est - offset)
+        # the old margin left the estimate at ~the full 0.08 offset
+        assert err < 0.04, f"NDT failed to recover a small offset: err={err}, t={t_est}"
+
+
 class TestNdtKdtreeMode:
     def test_kdtree_matches_direct7_accuracy(self):
         """KDTREE neighbor mode (radius search over cell centroids, the
