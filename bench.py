@@ -31,25 +31,20 @@ import time
 
 import numpy as np
 
+# bench course constants (shared with benchmarks/r3_method_window.py)
+BENCH_STEP = 0.08  # m/frame (0.8 m/s at 10 Hz)
+BENCH_FRAMES = 256  # frames measured (frame 0 bootstraps the keyframe)
+BENCH_RAW_CAPACITY = 16384
 
-def main() -> None:
-    import jax
 
-    jax.config.update("jax_enable_x64", True)  # voxel int64 keys
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-    from hdl_graph_slam_tpu.core import cloud as cloudlib
-    from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig
-    from hdl_graph_slam_tpu.frontend.window import OdometryWindow, stack_scans
-
-    rng = np.random.default_rng(0)
-
-    # structured synthetic world (floor + two perpendicular walls) driven
-    # through at ~1 m/s so every translation direction is constrained
+def make_course(n_frames: int = BENCH_FRAMES, step: float = BENCH_STEP, seed: int = 0):
+    """The benchmark drive: a structured synthetic world (floor + two
+    perpendicular walls, every translation direction constrained) scanned
+    from n_frames+1 sensor poses at ``step`` m/frame. Returns the list of
+    raw (~15k, 3) scans — scans[0] bootstraps the keyframe. Shared by
+    bench.py and benchmarks/r3_method_window.py so the headline and the
+    per-method numbers always measure the same course."""
+    rng = np.random.default_rng(seed)
     n_world = 60000
     floor = np.stack(
         [rng.uniform(-60, 60, n_world // 2), rng.uniform(-60, 60, n_world // 2), rng.normal(0, 0.02, n_world // 2)], 1
@@ -69,9 +64,26 @@ def main() -> None:
         idx = rng.choice(pts.shape[0], min(15000, pts.shape[0]), replace=False)
         return pts[idx]
 
-    step = 0.08  # m/frame (0.8 m/s at 10 Hz)
-    n_frames = 256  # frames measured (frame 0 bootstraps the keyframe)
-    raw_capacity = 16384
+    return [scan_at(step * i) for i in range(n_frames + 1)]
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # voxel int64 keys
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from hdl_graph_slam_tpu.core import cloud as cloudlib
+    from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig
+    from hdl_graph_slam_tpu.frontend.window import OdometryWindow, stack_scans
+
+    step = BENCH_STEP
+    n_frames = BENCH_FRAMES
+    raw_capacity = BENCH_RAW_CAPACITY
 
     win = OdometryWindow(
         # reg_reassoc_displacement: carry GICP correspondences across LM
@@ -84,7 +96,7 @@ def main() -> None:
         out_capacity=8192,
     )
 
-    scans = [scan_at(step * i) for i in range(n_frames + 1)]
+    scans = make_course(n_frames, step)
     xyz_np, mask_np = stack_scans(scans[1:], capacity=raw_capacity)
     stamps_np = 0.1 * np.arange(1, n_frames + 1)
 

@@ -34,30 +34,12 @@ def main():
     from hdl_graph_slam_tpu.core.config import OdometryConfig, PrefilterConfig, RegistrationConfig
     from hdl_graph_slam_tpu.frontend.window import OdometryWindow, stack_scans
 
-    rng = np.random.default_rng(0)
-    n_world = 60000
-    floor = np.stack(
-        [rng.uniform(-60, 60, n_world // 2), rng.uniform(-60, 60, n_world // 2), rng.normal(0, 0.02, n_world // 2)], 1
-    )
-    walls = np.stack(
-        [rng.uniform(-60, 60, n_world // 2), rng.normal(25, 0.05, n_world // 2), rng.uniform(0, 5, n_world // 2)], 1
-    )
-    half = n_world // 4
-    walls[half:] = walls[half:][:, [1, 0, 2]]
-    world = np.concatenate([floor, walls]).astype(np.float32)
+    from bench import BENCH_FRAMES, BENCH_RAW_CAPACITY, BENCH_STEP, make_course
 
-    def scan_at(x):
-        local = world - np.array([x, 0.0, 0.0], dtype=np.float32)
-        d = np.linalg.norm(local, axis=1)
-        keep = (d > 1.0) & (d < 50.0)
-        pts = local[keep]
-        idx = rng.choice(pts.shape[0], min(15000, pts.shape[0]), replace=False)
-        return pts[idx]
-
-    step = 0.08
-    n_frames = 256
-    raw_capacity = 16384
-    scans = [scan_at(step * i) for i in range(n_frames + 1)]
+    step = BENCH_STEP
+    n_frames = BENCH_FRAMES
+    raw_capacity = BENCH_RAW_CAPACITY
+    scans = make_course(n_frames, step)
     xyz_np, mask_np = stack_scans(scans[1:], capacity=raw_capacity)
     stamps_np = (0.1 * np.arange(1, n_frames + 1)).astype(np.float32)
 

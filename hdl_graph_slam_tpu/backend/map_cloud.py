@@ -50,7 +50,12 @@ class MapCloudGenerator:
         resolution: float = 0.05,
         max_points: int = 1 << 21,
     ) -> Optional[np.ndarray]:
-        """Returns the assembled map as (n, 3) numpy, or None if empty."""
+        """Returns the assembled map as (n, 3) numpy, or None if empty.
+
+        The output voxel table is capped at next_pow2(min(points,
+        max_points)); if the map has more occupied voxels than that, the
+        lowest-key voxels win deterministically (repo-wide overflow rule) —
+        raise max_points for city-scale maps at fine resolutions."""
         if not snapshots:
             return None
         caps = {snap.cloud.capacity for snap in snapshots}
@@ -81,7 +86,13 @@ class MapCloudGenerator:
             pts = out_xyz[out_mask]
             return pts if pts.shape[0] else None
 
-        # mixed capacities (e.g. loaded dumps): per-snapshot transform
+        # mixed capacities (e.g. loaded dumps): per-snapshot transform.
+        # Overflow policy matches the fast path: ALL points are voxelized
+        # and the voxel table is capped at next_pow2(min(points,
+        # max_points)) — when occupied voxels exceed the cap the
+        # lowest-key voxels win deterministically (the repo-wide voxel
+        # overflow rule, ops/voxel.py), the same clouds produce the same
+        # map regardless of which path ran.
         parts = []
         for snap in snapshots:
             moved = cloudlib.transform(snap.cloud, jnp.asarray(snap.pose, snap.cloud.xyz.dtype))
@@ -91,9 +102,12 @@ class MapCloudGenerator:
             return None
         if resolution <= 0.0:
             return merged  # full resolution (map_cloud_generator.cpp:37)
+        in_cap = 1
+        while in_cap < merged.shape[0]:
+            in_cap *= 2
         cap = 1
         while cap < min(merged.shape[0], max_points):
             cap *= 2
-        cloud = cloudlib.from_numpy(merged[:max_points], capacity=cap)
+        cloud = cloudlib.from_numpy(merged, capacity=in_cap)
         out = voxel.occupied_voxel_centers(cloud, resolution, max_voxels=cap)
         return out.to_numpy()

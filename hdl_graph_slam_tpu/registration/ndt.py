@@ -284,6 +284,11 @@ def align(
     computeStepLengthMT); pass line_search_fixed_cells=False for that
     trial-exact parity (DIRECT7 cost scales with the trial count: ~11 cell
     gathers per Newton iteration).
+
+    Under vmap (batched candidate aligns) every lax.cond in the body lowers
+    to a select that evaluates BOTH branches — the refresh and rescue
+    gathers then run every iteration for every candidate (correct, but no
+    gating savings; same caveat as base.lm_loop).
     """
     if nn_search_method.upper() == "KDTREE":
         gather = lambda pts, mask: _gather_cells_kdtree(tgt, pts, mask)
@@ -301,28 +306,14 @@ def align(
     def full_score(T):
         """Score with a FRESH association at T; returns the association so
         callers can reuse it (it is exactly the association of the next
-        iteration's linearization point when T is accepted)."""
+        iteration's linearization point when T is accepted). The single
+        source of the transform+gather+score sequence — the refresh and
+        rescue branches reuse it (the score einsum is ~2% of the gathers)."""
         moved = se3.transform_points(T, src_xyz)
         idx, found = gather(moved, src_mask)
         means, icovs = _gather_mean_icov(tgt, idx)
         ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
         return _score(tgt, moved, src_mask, means, icovs, found), ninl, (found, means, icovs)
-
-    def fresh_assoc(T):
-        """Association only (no score): the gated per-iteration refresh."""
-        moved = se3.transform_points(T, src_xyz)
-        idx, found = gather(moved, src_mask)
-        means, icovs = _gather_mean_icov(tgt, idx)
-        ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
-        return found, means, icovs, ninl
-
-    def fresh_assoc_scored(T):
-        moved = se3.transform_points(T, src_xyz)
-        idx, found = gather(moved, src_mask)
-        means, icovs = _gather_mean_icov(tgt, idx)
-        ninl = jnp.sum(jnp.any(found & src_mask[:, None], axis=1).astype(jnp.int32))
-        sc = _score(tgt, moved, src_mask, means, icovs, found)
-        return sc, found, means, icovs, ninl
 
     def cond(s: _NewtonState):
         return (s.it < max_iterations) & jnp.logical_not(s.converged)
@@ -364,10 +355,17 @@ def align(
         eye6 = jnp.eye(6, dtype=dtype)
         neg = jnp.maximum(-gershgorin_min(H), 0.0)
         tol = 1e-9 * jnp.maximum(scale, 1.0)
+        # top rung: the old GLOBAL margin + full Gershgorin shift — min eig
+        # >= 1e-3*scale, so its Cholesky pivots clear tol and the ladder is
+        # guaranteed a certified rung even when some diag(H) entry is ~0
+        # (a near-unconstrained twist direction would otherwise leave every
+        # relative-margin rung uncertified and keep an uncertified solve)
+        shifts = [jnp.diag(margin) + (f * neg) * eye6 for f in (0.0, 1.0 / 27.0, 1.0 / 9.0, 1.0 / 3.0)]
+        shifts.append((1e-3 * jnp.maximum(scale, 1.0) + neg) * eye6)
         d = None
         taken = None
-        for f in (0.0, 1.0 / 27.0, 1.0 / 9.0, 1.0 / 3.0, 1.0):
-            x, mp = solve_spd_checked(H + jnp.diag(margin) + (f * neg) * eye6, g)
+        for shift in shifts:
+            x, mp = solve_spd_checked(H + shift, g)
             ok = mp > tol
             if d is None:
                 d, taken = x, ok
@@ -425,15 +423,18 @@ def align(
             # the extra gather is skipped at the true convergence iteration.
             fresh0 = s.disp == 0.0
             need_rescue = jnp.logical_not(improve) & fresh0 & (alphas[0] >= transformation_epsilon)
+
+            def do_rescue():
+                sc, ninl2, (f2, m2, c2) = full_score(T_best)
+                return sc, f2, m2, c2, ninl2
+
             rescue_score, r_found, r_means, r_icovs, r_ninl = jax.lax.cond(
                 need_rescue,
-                lambda: fresh_assoc_scored(T_best),
+                do_rescue,
                 lambda: (jnp.asarray(jnp.inf, dtype), s.found, s.means, s.icovs, s.num_inliers),
             )
             rescued = need_rescue & (rescue_score < current_score)
             improve = improve | rescued
-        else:
-            rescued = jnp.asarray(False)
         alpha = jnp.where(improve, alphas[best], 0.0)
         T_new = jnp.where(improve, T_best, s.T)
         new_score = jnp.where(improve, best_score, current_score)
@@ -453,9 +454,13 @@ def align(
             # a rescued step already carries its fresh association at T_new
             refresh = jnp.logical_not(rescued) & ((would_conv & stale) | (disp_next > disp_budget))
 
+            def do_refresh():
+                _sc, ninl2, (f2, m2, c2) = full_score(T_new)
+                return f2, m2, c2, ninl2, jnp.asarray(0.0, dtype)
+
             found_n, means_n, icovs_n, ninl, disp_n = jax.lax.cond(
                 refresh,
-                lambda: fresh_assoc(T_new) + (jnp.asarray(0.0, dtype),),
+                do_refresh,
                 lambda: (
                     jnp.where(rescued, r_found, s.found),
                     jnp.where(rescued, r_means, s.means),
