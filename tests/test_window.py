@@ -194,3 +194,49 @@ class TestDeviceOdometryMethods:
         for i in range(1, n):
             np.testing.assert_allclose(odoms[i - 1], per_frame[i], atol=1e-5)
         assert bool(np.any(np.asarray(status["keyframe_switched"])))
+
+
+class TestWindowedTracking:
+    """The windowed odometry must actually TRACK the drive — not merely
+    match the per-frame path. Parity tests alone missed a silent NDT
+    failure where the overdamped Newton step 'converged' at ~zero motion
+    every frame (registration/ndt.py PD-margin fix, PERF.md round 3): both
+    paths agreed while going nowhere. This pins per-method tracking on a
+    small-step course, the regime that exposed the bug."""
+
+    @pytest.mark.parametrize(
+        "method,resolution,tol_frac",
+        [
+            ("FAST_GICP", 1.0, 0.25),
+            ("FAST_VGICP", 1.0, 0.25),
+            ("NDT_OMP", 2.0, 0.5),
+            ("ICP", 1.0, 0.5),
+        ],
+    )
+    def test_small_step_progress(self, method, resolution, tol_frac):
+        world = make_world(n=9000)
+        step = 0.1
+        n = 6
+        pose = np.eye(4)
+        scans = []
+        for i in range(n + 1):
+            pose_i = pose.copy()
+            pose_i[0, 3] = step * i
+            scans.append(scan_at(world, pose_i, n_keep=2400, seed=i))
+        cfg = OdometryConfig(
+            keyframe_delta_trans=5.0,
+            keyframe_delta_time=1e9,
+            registration=RegistrationConfig(
+                registration_method=method, reg_resolution=resolution
+            ),
+        )
+        win = OdometryWindow(cfg, max_voxels=2048)
+        state = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=2560))
+        xyz, mask = stack_scans(scans[1:], capacity=2560)
+        _, odoms, _status = win.run(state, xyz, mask, 0.1 * np.arange(1, n + 1))
+        odoms = np.asarray(jax.block_until_ready(odoms))
+        expected = step * n
+        got = float(odoms[-1][0, 3])
+        assert abs(got - expected) < tol_frac * expected, (
+            f"{method}: windowed odometry tracked {got:.3f} m of {expected:.3f} m"
+        )
