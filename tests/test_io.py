@@ -394,3 +394,68 @@ class TestFord:
         assert frames[1][1][0, 0] == 1.0
         gps = list(ds.gps())
         assert len(gps) == 1 and abs(gps[0][1] - np.degrees(0.7)) < 1e-6
+
+
+class TestViewMap:
+    """Offline viewer (tools/view_map.py — the rviz display's role):
+    renders map + trajectory + graph (markers.py graph_summary schema)
+    to a PNG without a GUI backend."""
+
+    def test_render_png(self, tmp_path):
+        import numpy as np
+
+        from hdl_graph_slam_tpu.tools.view_map import render
+
+        rng = np.random.default_rng(0)
+        map_xyz = rng.uniform(-10, 10, (5000, 3)).astype(np.float32)
+        traj = []
+        for i in range(5):
+            T = np.eye(4)
+            T[0, 3] = float(i)
+            traj.append((float(i), T))
+        graph = {
+            "nodes": [
+                {"id": i, "position": [float(i), 0.0, 0.0], "stamp": float(i)} for i in range(5)
+            ],
+            "edges": {
+                "se3": [{"vi": i, "vj": i + 1, "kernel": 0} for i in range(4)]
+                + [{"vi": 0, "vj": 4, "kernel": 1}],  # loop edge (id jump)
+                "se3_plane": [{"vi": 2, "vj": 0, "kernel": 0}],
+            },
+        }
+        out = str(tmp_path / "view.png")
+        render(map_xyz, traj, graph, out=out, side=True)
+        data = open(out, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 10_000
+
+    def test_cli_entry(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from hdl_graph_slam_tpu.io.pcd import save_pcd
+        from hdl_graph_slam_tpu.io.trajectory import save_tum
+
+        pcd = str(tmp_path / "m.pcd")
+        save_pcd(pcd, np.random.default_rng(1).uniform(-5, 5, (500, 3)).astype(np.float32))
+        trj = str(tmp_path / "t.txt")
+        save_tum(trj, [(0.0, np.eye(4)), (1.0, np.eye(4))])
+        out = str(tmp_path / "v.png")
+        r = subprocess.run(
+            [sys.executable, "-m", "hdl_graph_slam_tpu.tools.view_map",
+             "--map", pcd, "--traj", trj, "--out", out],
+            capture_output=True, text=True, env=_view_env(), timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        assert _json.loads(r.stdout.strip())["written"] == out
+
+
+def _view_env():
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ""
+    return env
