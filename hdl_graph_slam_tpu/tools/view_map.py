@@ -47,22 +47,21 @@ def render(
         ax.scatter(pts[:, 0], pts[:, 1], c=pts[:, 2], s=0.2, cmap="viridis", linewidths=0)
     if graph is not None:
         # utils/markers.py graph_summary schema: nodes[{id, position, ...}],
-        # edges{etype: [{vi, vj, kernel}]}
+        # edges{etype: [{vi, vj, kernel}]}. Only se3 edges are drawn: the
+        # other families (se3_plane, priors, ...) reference vertex ids in
+        # their own per-kind id spaces (plane/point indices), which do not
+        # resolve against the keyframe node list.
         nodes = {n["id"]: n for n in graph.get("nodes", [])}
-        for etype, rows in graph.get("edges", {}).items():
-            for e in rows:
-                a, b = nodes.get(e.get("vi")), nodes.get(e.get("vj"))
-                if not (a and b):
-                    continue
-                if etype == "se3":
-                    # consecutive keyframes = odometry; a jump = loop closure
-                    loop = abs(e["vi"] - e["vj"]) > 1
-                    color, lw, z = ("red", 1.4, 3) if loop else ("0.4", 0.6, 2)
-                else:
-                    color, lw, z = "orange", 0.6, 2
-                ax.plot([a["position"][0], b["position"][0]],
-                        [a["position"][1], b["position"][1]],
-                        color=color, linewidth=lw, zorder=z)
+        for e in graph.get("edges", {}).get("se3", []):
+            a, b = nodes.get(e.get("vi")), nodes.get(e.get("vj"))
+            if not (a and b):
+                continue
+            # consecutive keyframes = odometry; an id jump = loop closure
+            loop = abs(e["vi"] - e["vj"]) > 1
+            color, lw, z = ("red", 1.4, 3) if loop else ("0.4", 0.6, 2)
+            ax.plot([a["position"][0], b["position"][0]],
+                    [a["position"][1], b["position"][1]],
+                    color=color, linewidth=lw, zorder=z)
     if traj:
         T = np.asarray([p for _, p in traj])
         ax.plot(T[:, 0, 3], T[:, 1, 3], "-", color="black", linewidth=1.5, zorder=4)
