@@ -22,6 +22,12 @@ never the bottleneck).
 Baseline: the reference's real-time contract is sensor-rate 10 Hz odometry
 on CPU (launch/hdl_graph_slam.launch:167-168, README.md:6); BASELINE.md
 sets the target at >=5x reference frames/s per chip. vs_baseline = fps/10.
+
+Round-3 fix (VERDICT r2 weak #1): the axon tunnel has multi-second bad
+minutes, and a single timed window inherits that noise (driver captured
+290 fps where three independent reruns measured 420-430). The bench now
+times THREE windows on distinct courses (different world seeds, same
+shapes so the program compiles once) and prints the median.
 """
 
 from __future__ import annotations
@@ -96,43 +102,51 @@ def main() -> None:
         out_capacity=8192,
     )
 
-    scans = make_course(n_frames, step)
-    xyz_np, mask_np = stack_scans(scans[1:], capacity=raw_capacity)
     stamps_np = 0.1 * np.arange(1, n_frames + 1)
+    seeds = (0, 1, 2)
+    courses = [make_course(n_frames, step, seed=s) for s in seeds]
 
-    t_stage0 = time.perf_counter()
-    xyz = jax.device_put(xyz_np)
-    mask = jax.device_put(mask_np)
-    stamps = jax.device_put(stamps_np.astype(np.float32))
-    jax.block_until_ready((xyz, mask, stamps))
-    stage_s = time.perf_counter() - t_stage0
+    stage_s = 0.0
+    staged = []
+    for scans in courses:
+        xyz_np, mask_np = stack_scans(scans[1:], capacity=raw_capacity)
+        t_stage0 = time.perf_counter()
+        xyz = jax.device_put(xyz_np)
+        mask = jax.device_put(mask_np)
+        stamps = jax.device_put(stamps_np.astype(np.float32))
+        jax.block_until_ready((xyz, mask, stamps))
+        stage_s += time.perf_counter() - t_stage0
+        state0 = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=raw_capacity))
+        staged.append((jax.block_until_ready(state0), xyz, mask, stamps))
 
-    state0 = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=raw_capacity))
-    state0 = jax.block_until_ready(state0)
-
-    # warmup / compile on DISTINCT inputs (a reversed drive): the timed run
-    # must not be an identical re-dispatch the tunnel could short-circuit,
+    # warmup / compile on DISTINCT inputs (a reversed drive): the timed runs
+    # must not be identical re-dispatches the tunnel could short-circuit,
     # and block_until_ready alone proved unreliable through the remote
-    # tunnel — materialize results to host inside the timing window instead.
+    # tunnel — materialize results to host inside each timing window instead.
     import jax.numpy as jnp
 
-    warm = win.run(state0, jnp.flip(xyz, 0), jnp.flip(mask, 0), stamps)
+    warm = win.run(staged[0][0], jnp.flip(staged[0][1], 0), jnp.flip(staged[0][2], 0), staged[0][3])
     np.asarray(warm[1])
 
-    t0 = time.perf_counter()
-    state, odoms, status = win.run(state0, xyz, mask, stamps)
-    odoms = np.asarray(odoms)  # forces full execution + D2H of the results
-    conv = np.asarray(status["converged"])
-    dt = time.perf_counter() - t0
-    fps = n_frames / dt
-
-    # sanity: odometry must have tracked the drive (3% of distance covers the
-    # random-walk drift of frame-to-keyframe matching over 256 frames)
-    final = odoms[-1]
     dist = step * n_frames
-    assert abs(final[0, 3] - dist) < 0.03 * dist, final
-    conv_frac = float(np.mean(conv))
-    assert conv_frac > 0.9, f"only {conv_frac:.0%} of frames converged"
+    fps_samples = []
+    for state0, xyz, mask, stamps in staged:
+        t0 = time.perf_counter()
+        state, odoms, status = win.run(state0, xyz, mask, stamps)
+        odoms = np.asarray(odoms)  # forces full execution + D2H of the results
+        conv = np.asarray(status["converged"])
+        dt = time.perf_counter() - t0
+        fps_samples.append(n_frames / dt)
+
+        # sanity: odometry must have tracked the drive (3% of distance covers
+        # the random-walk drift of frame-to-keyframe matching over 256 frames)
+        final = odoms[-1]
+        assert abs(final[0, 3] - dist) < 0.03 * dist, final
+        conv_frac = float(np.mean(conv))
+        assert conv_frac > 0.9, f"only {conv_frac:.0%} of frames converged"
+
+    fps_samples.sort()
+    fps = fps_samples[len(fps_samples) // 2]  # median of 3
 
     print(
         json.dumps(
@@ -140,7 +154,9 @@ def main() -> None:
                 "metric": "e2e_odometry_fps_per_chip",
                 "value": round(fps, 2),
                 "unit": "frames/s (15k raw pts -> fused prefilter -> device-resident GICP odometry, "
-                f"{n_frames}-frame window in one program; H2D staging {stage_s*1e3:.0f} ms measured separately)",
+                f"{n_frames}-frame window in one program; median of {len(fps_samples)} windows "
+                f"[{fps_samples[0]:.0f}..{fps_samples[-1]:.0f}]; "
+                f"H2D staging {stage_s*1e3:.0f} ms measured separately)",
                 "vs_baseline": round(fps / 10.0, 2),
             }
         )

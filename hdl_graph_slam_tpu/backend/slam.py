@@ -409,13 +409,21 @@ class HdlGraphSlam:
     # -- persistence services (dump/load/save_map,
     #    hdl_graph_slam_nodelet.cpp:818-1013) --------------------------------
 
-    def save_map(self, path: str, resolution: Optional[float] = None) -> bool:
-        """save_map_service (:982-1013): assemble + write PCD (+ .utm)."""
+    def save_map(self, path: str, resolution: Optional[float] = None, utm: bool = False) -> bool:
+        """save_map_service (:982-1013): assemble + write PCD (+ .utm).
+
+        ``utm=True`` mirrors SaveMap.srv's ``utm`` flag: output points are
+        offset by zero_utm so the map lands in the absolute UTM frame
+        (hdl_graph_slam_nodelet.cpp:995-999). No-op when no GPS fix has
+        established a datum, like the reference's ``zero_utm &&`` guard.
+        """
         from ..io import pcd as pcdio
 
         pts = self.generate_map(resolution=resolution)
         if pts is None:
             return False
+        if utm and self.zero_utm is not None:
+            pts = pts + self.zero_utm.astype(pts.dtype)
         if self.zero_utm is not None:
             with open(path + ".utm", "w") as f:
                 f.write("%.6f %.6f %.6f\n" % tuple(self.zero_utm))

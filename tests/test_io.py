@@ -379,6 +379,42 @@ class TestFord:
             assert abs(a - alt) < 1e-9
         assert abs(rows[0][0] - 1.0) < 1e-9 and abs(rows[1][0] - 2.0) < 1e-9
 
+    def test_gps_log_binary(self, tmp_path):
+        """The REAL GPS.log format (ford2bag.py:20-27): headerless binary
+        records of int64 utime + 3 local doubles, lat/lon/el/theta radians,
+        and a 16-double covariance. No-fix records (|lat| < 0.1 rad) are
+        skipped like the reference; a trailing partial record is ignored
+        (the reference reads until its struct.unpack excepts)."""
+        import struct
+
+        from hdl_graph_slam_tpu.io.ford import read_gps_log, read_gps_log_binary
+
+        lat_deg, lon_deg, alt = 42.294319, -83.223099, 150.5
+
+        def rec(utime, lat_rad, lon_rad, el, theta=0.25):
+            cov = [float(i) for i in range(16)]
+            return struct.pack("<qddd", utime, 1.0, 2.0, 3.0) + struct.pack(
+                "<dddd", lat_rad, lon_rad, el, theta
+            ) + struct.pack("<16d", *cov)
+
+        blob = (
+            rec(1_000_000, np.radians(lat_deg), np.radians(lon_deg), alt)
+            + rec(2_000_000, 0.0, 0.0, 0.0)  # no fix -> skipped
+            + rec(3_000_000, np.radians(lat_deg) + 1e-7, np.radians(lon_deg), alt + 1.0)
+            + b"\x00" * 24  # truncated trailer
+        )
+        p = tmp_path / "GPS.log"
+        p.write_bytes(blob)
+
+        for reader in (read_gps_log_binary, read_gps_log):  # auto-detect too
+            rows = list(reader(str(p)))
+            assert len(rows) == 2, rows
+            assert abs(rows[0][0] - 1.0) < 1e-9 and abs(rows[1][0] - 3.0) < 1e-9
+            assert abs(rows[0][1] - lat_deg) < 1e-9
+            assert abs(rows[0][2] - lon_deg) < 1e-9
+            assert abs(rows[0][3] - alt) < 1e-12
+            assert abs(rows[1][3] - (alt + 1.0)) < 1e-12
+
     def test_dataset_directory(self, tmp_path):
         from hdl_graph_slam_tpu.io.ford import FordDataset
 

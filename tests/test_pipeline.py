@@ -311,6 +311,44 @@ class TestPersistence:
         xyz, _ = pcdio.load_pcd(p)
         assert xyz.shape[0] > 100
 
+    def test_save_map_utm(self, world, tmp_path):
+        """SaveMap.srv utm flag parity (hdl_graph_slam_nodelet.cpp:995-999):
+        with a zero_utm datum, utm=True shifts every output point by
+        zero_utm; the .utm sidecar is written either way."""
+        from hdl_graph_slam_tpu.backend import HdlGraphSlam
+        from hdl_graph_slam_tpu.io import pcd as pcdio
+
+        cfg = SlamConfig()
+        cfg.backend.max_keyframes_per_update = 100
+        slam = HdlGraphSlam(cfg)
+        for i in range(3):
+            T = np.eye(4)
+            T[0, 3] = float(i) * 3.0
+            scan = scan_at(world, T, seed=i)
+            slam.add_frame(float(i), T, cloudlib.from_numpy(scan, capacity=2560))
+        slam.optimize_cycle()
+        zero_utm = np.array([384000.25, 3874000.5, 150.0])
+        slam.zero_utm = zero_utm.copy()
+
+        p_map = str(tmp_path / "map.pcd")
+        p_utm = str(tmp_path / "map_utm.pcd")
+        assert slam.save_map(p_map, resolution=0.5)
+        assert slam.save_map(p_utm, resolution=0.5, utm=True)
+        xyz, _ = pcdio.load_pcd(p_map)
+        xyz_utm, _ = pcdio.load_pcd(p_utm)
+        np.testing.assert_allclose(
+            np.sort(xyz_utm, axis=0), np.sort(xyz + zero_utm[None, :].astype(np.float32), axis=0), atol=1.5
+        )
+        # medians must differ by exactly the datum (robust to float32 rounding)
+        np.testing.assert_allclose(np.median(xyz_utm, 0) - np.median(xyz, 0), zero_utm, atol=0.5)
+        assert (tmp_path / "map_utm.pcd.utm").read_text().split() == ["384000.250000", "3874000.500000", "150.000000"]
+        # no datum -> utm flag is a no-op like the reference's zero_utm guard
+        slam.zero_utm = None
+        p_plain = str(tmp_path / "map_noutm.pcd")
+        assert slam.save_map(p_plain, resolution=0.5, utm=True)
+        xyz_plain, _ = pcdio.load_pcd(p_plain)
+        np.testing.assert_allclose(np.sort(xyz_plain, 0), np.sort(xyz, 0), atol=1e-5)
+
 
 @pytest.mark.slow
 class TestOfflinePipeline:
