@@ -359,6 +359,9 @@ class HdlGraphSlam:
                     block_size=b.submap_block_size,
                     intra_iterations=b.g2o_solver_num_iterations,
                     inter_iterations=b.g2o_solver_num_iterations,
+                    # both boundary phases per cycle (partition.py alternates
+                    # block offsets so boundary poses see their priors)
+                    rounds=2,
                 )
             else:
                 data = self.graph.freeze(dtype=dtype)

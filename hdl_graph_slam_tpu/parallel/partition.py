@@ -7,28 +7,77 @@ maps onto the hardware:
 
 1. **Partition**: keyframes split into contiguous blocks of ``block_size``.
 2. **Intra-block refinement** (embarrassingly parallel — one block per host
-   or per device): each block's subgraph (edges with both endpoints inside)
-   is optimized with its first pose fixed, yielding refined poses relative
-   to the block base. Work per block is independent — distribute freely.
+   or per device): each block's subgraph is optimized with its first pose
+   fixed, yielding refined poses relative to the block base. The subgraph
+   contains the se3_se3 edges interior to the block PLUS every unary prior
+   (GPS xy/xyz, IMU vec/quat) and fixed-plane (floor) edge on its poses,
+   re-expressed exactly in the block-base frame (see `_subgraph`).
 3. **Condensed inter-block graph** (tiny — one SE3 node per block): every
-   cross-block edge is re-expressed as a constraint between block bases
-   using the refined local poses; a global LM solves block placements.
+   cross-block se3_se3 edge is re-expressed as a constraint between block
+   bases using the refined local poses, and each block's prior edges are
+   condensed into ONE SE3 anchor edge on its base carrying the exact
+   Gauss-Newton quadratic of those priors (see `_condense_priors`); a
+   global LM solves block placements.
 4. **Composition**: global pose = optimized base @ refined local pose.
 
 This is an approximation of the joint optimum (exact when intra-block
 estimates are locally rigid), converging to it as blocks are re-refined;
 `hierarchical_optimize` supports multiple rounds.
+
+Prior-edge handling (round-3 fix — previously floor/GPS/IMU edges were
+silently DROPPED from both levels, so a GPS-aided run in submap mode
+ignored GPS):
+
+- Intra-block, with base pose ``B = [R|t]`` held fixed and local poses
+  ``L = B^-1 T``:
+  * se3_prior_xyz ``t(BL) - m``  ==  R * (t(L) - R^T (m - t)): a LOCAL
+    xyz prior with meas ``R^T (m - t)`` and info ``R^T W R`` — exact.
+  * se3_prior_xy: same device via a rank-2 xyz prior (info ``R^T P^T W2
+    P R`` with P the xy-selector) — exact.
+  * se3_prior_vec ``R(BL)^T d - m  ==  R(L)^T (R^T d) - m``: a local vec
+    prior with direction ``R^T d`` — exact.
+  * se3_prior_quat: local quat prior with meas ``quat(R^T R_m)`` — exact
+    zero set; first-order-equivalent chi2 (the g2o vec-difference residual
+    is not left-equivariant; its wiring uses isotropic info, for which the
+    approximation is second-order).
+  * se3_plane to a FIXED plane p: local fixed plane node ``B^T p``
+    (= plane transformed by B^-1), measurement unchanged — exact.
+- Inter-block: each block's priors, with refined locals frozen, define a
+  6-dof Gauss-Newton quadratic (H_b, b_b) in the base's right-increment.
+  It is attached as one se3_se3 edge between the base and a fixed identity
+  anchor node: measurement ``(B @ exp(-pinv(H_b) b_b))^-1`` (the GN
+  optimum of the quadratic) and information ``J^-T H_b J^-1`` where J is
+  the edge's own Jacobian wrt the base increment — so the condensed solve
+  sees exactly the priors' gradient and Gauss-Newton Hessian at the
+  linearization point.
+
+Edges the hierarchy cannot condense (plane-plane constraints, plane
+priors, se3_point_xyz landmarks, se3_plane to a NON-fixed plane) trigger a
+final full-graph LM refinement pass warm-started from the hierarchical
+solution (`_needs_dense_fallback`); the production backend only ever
+creates the supported kinds (hdl_graph_slam_nodelet.cpp:234-500 wires
+se3_se3 + priors + the single fixed floor plane).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..graph.solver import optimize as graph_optimize
 from ..graph.types import GraphBuilder
+
+_PRIOR_TYPES = ("se3_prior_xy", "se3_prior_xyz", "se3_prior_vec", "se3_prior_quat")
+_UNSUPPORTED_TYPES = (
+    "plane_prior_normal",
+    "plane_prior_distance",
+    "plane_identity",
+    "plane_parallel",
+    "plane_perpendicular",
+    "se3_point_xyz",
+)
 
 
 @dataclasses.dataclass
@@ -37,36 +86,200 @@ class Block:
     base_id: int  # first pose (block anchor)
 
 
-def partition_poses(num_poses: int, block_size: int) -> List[Block]:
+def partition_poses(num_poses: int, block_size: int, offset: int = 0) -> List[Block]:
+    """Contiguous blocks of ``block_size``; with ``offset`` the first block
+    has only ``offset`` poses, shifting every later boundary. Alternating
+    offsets between rounds moves block-boundary poses (whose priors act
+    only through the condensed level) into block interiors."""
     blocks = []
-    for start in range(0, num_poses, block_size):
-        ids = list(range(start, min(start + block_size, num_poses)))
+    start = 0
+    while start < num_poses:
+        size = offset if (start == 0 and 0 < offset < min(block_size, num_poses)) else block_size
+        ids = list(range(start, min(start + size, num_poses)))
         blocks.append(Block(pose_ids=ids, base_id=ids[0]))
+        start += size
     return blocks
 
 
-def _subgraph(builder: GraphBuilder, block: Block) -> Tuple[GraphBuilder, Dict[int, int]]:
-    """Intra-block subgraph over se3_se3 edges with both endpoints inside.
+def _quat_from_mat_np(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (w, x, y, z), numpy (Shepperd)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2.0
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2.0
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
 
-    Returns (sub-builder, global->local id map). The block base is fixed.
-    Non-SE3 edges (planes, priors) stay at the global level for simplicity —
-    they mostly encode global constraints anyway (floor/GPS).
+
+def _plane_in_base_frame(base: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """Global plane (n, d) expressed in the block-base frame: (R^T n, d + t.n)
+    (= planelib.transform(inv(base), coeffs); normal stays unit)."""
+    R, t = base[:3, :3], base[:3, 3]
+    return np.concatenate([R.T @ coeffs[:3], [coeffs[3] + t @ coeffs[:3]]])
+
+
+def _copy_edge_kernel(sub: GraphBuilder, etype: str, row: dict) -> None:
+    sub.edge_rows[etype][-1]["kernel_id"] = row["kernel_id"]
+    sub.edge_rows[etype][-1]["kernel_delta"] = row["kernel_delta"]
+
+
+def _subgraph(builder: GraphBuilder, block: Block) -> Tuple[GraphBuilder, Dict[int, int]]:
+    """Intra-block subgraph: interior se3_se3 edges plus this block's unary
+    priors and fixed-plane edges re-expressed in the base frame (module
+    docstring derivations). The block base is fixed, as is any pose fixed
+    in the parent graph (e.g. the backend's anchor node).
+
+    Returns (sub-builder, global->local id map).
     """
     id_map = {g: i for i, g in enumerate(block.pose_ids)}
     sub = GraphBuilder()
     base_pose = builder.poses[block.base_id]
     base_inv = np.linalg.inv(base_pose)
+    R, t = base_pose[:3, :3], base_pose[:3, 3]
     for g in block.pose_ids:
-        sub.add_se3_node(base_inv @ builder.poses[g], fixed=(g == block.base_id))
+        sub.add_se3_node(base_inv @ builder.poses[g], fixed=(g == block.base_id) or builder.pose_fixed[g])
     for row in builder.edge_rows["se3_se3"]:
         vi, vj = row["vi"], row["vj"]
         if vi in id_map and vj in id_map:
-            sub._add_edge(
-                "se3_se3", id_map[vi], id_map[vj], row["meas"], row["info"],
+            sub._add_edge("se3_se3", id_map[vi], id_map[vj], row["meas"], row["info"])
+            _copy_edge_kernel(sub, "se3_se3", row)
+
+    for row in builder.edge_rows["se3_prior_xyz"]:
+        if row["vi"] in id_map:
+            sub.edge_rows["se3_prior_xyz"].append(
+                dict(row, vi=id_map[row["vi"]], meas=R.T @ (row["meas"] - t), info=R.T @ row["info"] @ R)
             )
-            sub.edge_rows["se3_se3"][-1]["kernel_id"] = row["kernel_id"]
-            sub.edge_rows["se3_se3"][-1]["kernel_delta"] = row["kernel_delta"]
+    P = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    for row in builder.edge_rows["se3_prior_xy"]:
+        if row["vi"] in id_map:
+            m3 = np.array([row["meas"][0], row["meas"][1], builder.poses[row["vi"]][2, 3]])
+            sub.edge_rows["se3_prior_xyz"].append(
+                dict(
+                    row,
+                    vi=id_map[row["vi"]],
+                    meas=R.T @ (m3 - t),
+                    info=R.T @ (P.T @ row["info"] @ P) @ R,
+                )
+            )
+    for row in builder.edge_rows["se3_prior_vec"]:
+        if row["vi"] in id_map:
+            meas6 = row["meas"].copy()
+            meas6[:3] = R.T @ meas6[:3]
+            sub.edge_rows["se3_prior_vec"].append(dict(row, vi=id_map[row["vi"]], meas=meas6))
+    for row in builder.edge_rows["se3_prior_quat"]:
+        if row["vi"] in id_map:
+            qm = row["meas"]
+            Rm = _quat_to_mat_np(qm)
+            ql = _quat_from_mat_np(R.T @ Rm)
+            if ql[0] < 0:
+                ql = -ql
+            sub.edge_rows["se3_prior_quat"].append(dict(row, vi=id_map[row["vi"]], meas=ql))
+
+    plane_local: Dict[int, int] = {}
+    for row in builder.edge_rows["se3_plane"]:
+        if row["vi"] in id_map and builder.plane_fixed[row["vj"]]:
+            pg = row["vj"]
+            if pg not in plane_local:
+                plane_local[pg] = sub.add_plane_node(_plane_in_base_frame(base_pose, builder.planes[pg]), fixed=True)
+            sub.edge_rows["se3_plane"].append(dict(row, vi=id_map[row["vi"]], vj=plane_local[pg]))
     return sub, id_map
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _needs_dense_fallback(builder: GraphBuilder) -> bool:
+    if any(builder.edge_rows[t] for t in _UNSUPPORTED_TYPES):
+        return True
+    return any(not builder.plane_fixed[row["vj"]] for row in builder.edge_rows["se3_plane"])
+
+
+def _condense_priors(
+    builder: GraphBuilder,
+    blocks: List[Block],
+    local_poses: Dict[int, np.ndarray],
+    block_of: Dict[int, int],
+    dtype,
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Per-block Gauss-Newton quadratic of all prior/fixed-plane edges.
+
+    For each prior on pose g in block b, the residual as a function of the
+    base right-increment xi is r(base @ exp(xi) @ L_g) with L_g frozen at
+    its refined value. Returns {block: (H_b 6x6, b_b 6)} accumulated over
+    the block's priors, including first-order robust reweighting (the same
+    rho' scaling graph/linearize.py applies). One batched jax program per
+    edge type — not one dispatch per edge.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import se3
+    from ..graph import edges as E
+    from ..graph.robust import rho_and_weight
+
+    out: Dict[int, List[np.ndarray]] = {}
+
+    def accumulate(etype, rfn, extra_of_row=None, row_filter=None):
+        rows = [r for r in builder.edge_rows[etype] if r["vi"] in block_of and (row_filter is None or row_filter(r))]
+        if not rows:
+            return
+        bases = np.stack([builder.poses[blocks[block_of[r["vi"]]].base_id] for r in rows])
+        locs = np.stack([local_poses[r["vi"]] for r in rows])
+        meas = np.stack([r["meas"] for r in rows])
+        info = np.stack([r["info"] for r in rows])
+        kid = np.array([r["kernel_id"] for r in rows], dtype=np.int32)
+        kdelta = np.array([r["kernel_delta"] for r in rows])
+        extra = np.stack([extra_of_row(r) for r in rows]) if extra_of_row else np.zeros((len(rows), 1))
+
+        def one(Bb, L, m, ex):
+            def rf(xi):
+                return rfn(Bb @ se3.mqt_exp(xi) @ L, m, ex)
+
+            z = jnp.zeros(6, dtype)
+            return rf(z), jax.jacfwd(rf)(z)
+
+        r, J = jax.vmap(one)(
+            jnp.asarray(bases, dtype), jnp.asarray(locs, dtype), jnp.asarray(meas, dtype), jnp.asarray(extra, dtype)
+        )
+        infoj = jnp.asarray(info, dtype)
+        chi2 = jnp.einsum("ei,eij,ej->e", r, infoj, r)
+        _, w = rho_and_weight(chi2, jnp.asarray(kid), jnp.asarray(kdelta, dtype))
+        wi = infoj * w[:, None, None]
+        He = np.asarray(jnp.einsum("eia,eij,ejb->eab", J, wi, J))
+        be = np.asarray(jnp.einsum("eia,eij,ej->ea", J, wi, r))
+        for k, row in enumerate(rows):
+            b = block_of[row["vi"]]
+            if b not in out:
+                out[b] = [np.zeros((6, 6)), np.zeros(6)]
+            out[b][0] += He[k]
+            out[b][1] += be[k]
+
+    accumulate("se3_prior_xyz", lambda T, m, ex: E.se3_prior_xyz(T, m))
+    accumulate("se3_prior_xy", lambda T, m, ex: E.se3_prior_xy(T, m))
+    accumulate("se3_prior_vec", lambda T, m, ex: E.se3_prior_vec(T, m))
+    accumulate("se3_prior_quat", lambda T, m, ex: E.se3_prior_quat(T, m))
+    accumulate(
+        "se3_plane",
+        lambda T, m, ex: E.se3_plane(T, ex, m),
+        extra_of_row=lambda r: builder.planes[r["vj"]],
+        row_filter=lambda r: builder.plane_fixed[r["vj"]],  # non-fixed planes go to the dense fallback
+    )
+    return {b: (Hb, bb) for b, (Hb, bb) in out.items()}
 
 
 def hierarchical_optimize(
@@ -76,6 +289,7 @@ def hierarchical_optimize(
     inter_iterations: int = 100,
     rounds: int = 1,
     dtype=None,
+    final_refine_iterations: Optional[int] = None,
 ) -> None:
     """Optimize ``builder`` in place via the submap hierarchy.
 
@@ -83,6 +297,11 @@ def hierarchical_optimize(
     host runs the solves for its resident blocks (the block subgraphs are
     exactly the per-host keyframe shards); only the condensed base graph
     (one pose per block) needs global communication.
+
+    ``final_refine_iterations``: iterations for the full-graph LM pass run
+    after the hierarchy when the graph contains edge types the hierarchy
+    cannot condense (None = auto: ``inter_iterations`` when such edges
+    exist, else skipped).
     """
     import jax.numpy as jnp
 
@@ -94,9 +313,26 @@ def hierarchical_optimize(
     n = len(builder.poses)
     if n == 0:
         return
-    blocks = partition_poses(n, block_size)
 
-    for _ in range(rounds):
+    from ..core import se3 as se3lib
+    from ..graph import edges as E
+    from ..graph.linearize import chi2_only
+
+    has_priors = any(builder.edge_rows[t] for t in _PRIOR_TYPES) or any(
+        builder.plane_fixed[row["vj"]] for row in builder.edge_rows["se3_plane"]
+    )
+
+    # monotone safeguard: block-coordinate rounds can oscillate around the
+    # joint optimum; keep the best full-graph chi2 iterate (chi2_only is one
+    # cheap no-Jacobian program per round)
+    best_chi2 = float(np.asarray(chi2_only(builder.freeze(dtype=dtype))[1]))
+    best_poses = [p.copy() for p in builder.poses]
+
+    for round_idx in range(rounds):
+        # alternate block boundaries so every pose is a block INTERIOR in
+        # half the rounds (boundary bases are fixed intra-block, so their
+        # priors only act through the condensed linearization)
+        blocks = partition_poses(n, block_size, offset=(round_idx % 2) * (block_size // 2))
         # --- intra-block refinement (parallel axis) ------------------------
         local_poses: Dict[int, np.ndarray] = {}
         block_of: Dict[int, int] = {}
@@ -112,8 +348,10 @@ def hierarchical_optimize(
         # --- condensed inter-block graph ----------------------------------
         cond = GraphBuilder()
         for block in blocks:
-            cond.add_se3_node(builder.poses[block.base_id], fixed=False)
-        cond.set_pose_fixed(0, True)
+            fixed = any(builder.pose_fixed[g] for g in block.pose_ids)
+            cond.add_se3_node(builder.poses[block.base_id], fixed=fixed)
+        if not any(cond.pose_fixed) and not has_priors:
+            cond.set_pose_fixed(0, True)  # gauge anchor when nothing else pins it
         n_inter = 0
         for row in builder.edge_rows["se3_se3"]:
             vi, vj = row["vi"], row["vj"]
@@ -129,7 +367,32 @@ def hierarchical_optimize(
             meas_base = Li @ row["meas"] @ np.linalg.inv(Lj)
             cond.add_se3_edge(bi, bj, meas_base, row["info"])
             n_inter += 1
-        if n_inter > 0 and len(blocks) > 1:
+
+        if has_priors:
+            import jax
+
+            quads = _condense_priors(builder, blocks, local_poses, block_of, dtype)
+            if quads:
+                anchor = cond.add_se3_node(np.eye(4), fixed=True)
+                for bi, (Hb, bb) in sorted(quads.items()):
+                    Bhat = builder.poses[blocks[bi].base_id]
+                    delta = -np.linalg.pinv(Hb, rcond=1e-12) @ bb
+                    Bstar = Bhat @ np.asarray(se3lib.mqt_exp(jnp.asarray(delta, dtype)))
+                    meas = np.linalg.inv(Bstar)
+
+                    # edge info reproducing (H_b, b_b) through the edge's own
+                    # Jacobian: J^T W J = H_b requires W = J^-T H_b J^-1
+                    def efn(xi, Bh=jnp.asarray(Bhat, dtype), m=jnp.asarray(meas, dtype)):
+                        return E.se3_se3(Bh @ se3lib.mqt_exp(xi), jnp.eye(4, dtype=dtype), m)
+
+                    J = np.asarray(jax.jacfwd(efn)(jnp.zeros(6, dtype)))
+                    Ji = np.linalg.inv(J)
+                    W = Ji.T @ Hb @ Ji
+                    W = 0.5 * (W + W.T)
+                    cond.add_se3_edge(bi, anchor, meas, W)
+                    n_inter += 1
+
+        if n_inter > 0 and (len(blocks) > 1 or has_priors):
             data, _ = graph_optimize(cond.freeze(dtype=dtype), max_iterations=inter_iterations)
             cond.update_estimates(data)
 
@@ -138,4 +401,20 @@ def hierarchical_optimize(
             bi = block_of.get(g)
             if bi is None:
                 continue
+            if builder.pose_fixed[g]:
+                continue  # globally fixed poses never move
             builder.poses[g] = cond.poses[bi] @ local_poses[g]
+
+        chi2 = float(np.asarray(chi2_only(builder.freeze(dtype=dtype))[1]))
+        if chi2 < best_chi2:
+            best_chi2 = chi2
+            best_poses = [p.copy() for p in builder.poses]
+
+    for g in range(n):
+        builder.poses[g] = best_poses[g]
+
+    if _needs_dense_fallback(builder):
+        iters = inter_iterations if final_refine_iterations is None else final_refine_iterations
+        if iters > 0:
+            data, _ = graph_optimize(builder.freeze(dtype=dtype), max_iterations=iters)
+            builder.update_estimates(data)
