@@ -1,0 +1,119 @@
+"""Long multi-loop golden course on ray-cast LiDAR (TPU).
+
+The full-scale version of tests/test_golden.py::test_golden_town_multiloop:
+TWO laps around a city-block perimeter (~600 frames at 1.2 m/frame, 3 deg/
+frame corner arcs — KITTI-like motion), scans ray-cast with first-hit
+occlusion from utils/lidar_sim.py, the COMPLETE pipeline doing the work:
+prefilter + scan-matching odometry (no injected drift — real accumulated
+error) + keyframe admission + batched loop-candidate matching + robustified
+LM graph optimization. Second-lap corner revisits see building facades with
+partial (occluded) overlap — the regime the reference validates with golden
+bags (/root/reference/README.md Example sections).
+
+Prints one JSON line per mode with ATE RMSE / loop count / throughput;
+PERF.md records the numbers (VERDICT r2 next #1 "a recorded ATE on the
+long course in PERF.md").
+"""
+
+from __future__ import annotations
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from hdl_graph_slam_tpu.core.config import RegistrationConfig, SlamConfig
+    from hdl_graph_slam_tpu.io import trajectory as traj_io
+    from hdl_graph_slam_tpu.pipeline import SlamPipeline
+    from hdl_graph_slam_tpu.utils import lidar_sim as L
+
+    town = L.make_town(seed=1, blocks=3)
+    model = L.LidarModel(rings=32, azimuth_steps=512, max_range=60.0, range_noise=0.02, dropout=0.05)
+    poses = L.town_course(blocks=2, loops=2, step=1.2)
+
+    t0 = time.perf_counter()
+    frames = []
+    truth = []
+    for i, pose in enumerate(poses):
+        sensor = pose.copy()
+        sensor[2, 3] += 1.8
+        truth.append((float(i), sensor))
+        frames.append((float(i), L.scan(town, sensor, model, seed=i), None))
+    sim_dt = time.perf_counter() - t0
+
+    reg = RegistrationConfig(registration_method="FAST_GICP", reg_reassoc_displacement=0.1)
+    cfg = SlamConfig()
+    cfg.prefilter.downsample_resolution = 0.5
+    cfg.prefilter.outlier_removal_method = "NONE"
+    cfg.prefilter.distance_far_thresh = 60.0
+    cfg.odometry.registration = reg
+    cfg.odometry.keyframe_delta_trans = 4.0
+    cfg.odometry.keyframe_delta_time = 1e9
+    cfg.backend.keyframe_delta_trans = 4.0
+    cfg.backend.fix_first_node = True
+    cfg.backend.fix_first_node_stddev = "10 10 1000 1 1 1"
+    cfg.backend.g2o_solver_num_iterations = 60
+    cfg.backend.graph_update_interval = 10.0
+    cfg.loop.registration = reg
+    cfg.loop.distance_thresh = 8.0
+    cfg.loop.accum_distance_thresh = 25.0
+    cfg.loop.min_edge_interval = 10.0
+    cfg.loop.fitness_score_thresh = 1.5
+    cfg.floor.enabled = False
+
+    def run_once():
+        pipe = SlamPipeline(cfg, cloud_capacity=4096)
+        t0 = time.perf_counter()
+        pipe.run_windowed(list(frames), window=16)
+        dt = time.perf_counter() - t0
+        return pipe, dt
+
+    # warm pass compiles every program (graph capacity buckets included)
+    _, cold_dt = run_once()
+    pipe, dt = run_once()
+
+    est = pipe.slam.trajectory()
+    kf_stamps = {s for s, _ in est}
+    odom_kf = [(s, T) for s, T in pipe.odometry_trajectory if s in kf_stamps]
+    ate_opt = traj_io.ate_rmse(est, truth, align=True)
+    ate_odom = traj_io.ate_rmse(odom_kf, truth, align=True)
+    n_kf = len(pipe.slam.keyframes)
+    n_loops = len(pipe.slam.graph.edge_rows["se3_se3"]) - (n_kf - 1) - 1  # chain+anchor
+
+    # course length for context (m)
+    length = sum(
+        float(np.linalg.norm(poses[i + 1][:3, 3] - poses[i][:3, 3])) for i in range(len(poses) - 1)
+    )
+    print(json.dumps({
+        "metric": "golden_town_ate_rmse",
+        "value": round(float(ate_opt), 4),
+        "unit": "m ATE RMSE (optimized, Umeyama-aligned), 2-lap occluded town course",
+        "ate_odom_m": round(float(ate_odom), 4),
+        "frames": len(frames),
+        "course_length_m": round(length, 1),
+        "keyframes": n_kf,
+        "loop_edges": n_loops,
+        "fps": round(len(frames) / dt, 2),
+        "cold_wall_s": round(cold_dt, 1),
+        "sim_wall_s": round(sim_dt, 1),
+        "vs_baseline": None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,9 @@ class FloorMeasurement:
 
 class HdlGraphSlam:
     def __init__(self, cfg: Optional[SlamConfig] = None):
-        self.cfg = cfg or SlamConfig()
+        from ..core.config import wire_derived
+
+        self.cfg = wire_derived(cfg or SlamConfig())
         b = self.cfg.backend
         self.graph = GraphBuilder()
         self.keyframe_updater = KeyframeUpdater(b.keyframe_delta_trans, b.keyframe_delta_angle)
@@ -128,6 +130,7 @@ class HdlGraphSlam:
         b = self.cfg.backend
         odom2map = self.trans_odom2map
         num = min(len(self.keyframe_queue), b.max_keyframes_per_update)
+        pending = []  # (kf, prev, relative_pose) odometry edges of this flush
         for i in range(num):
             kf = self.keyframe_queue[i]
             self.new_keyframes.append(kf)
@@ -150,7 +153,13 @@ class HdlGraphSlam:
                 continue
             prev = self.keyframes[-1] if i == 0 else self.keyframe_queue[i - 1]
             relative_pose = np.linalg.inv(kf.odom) @ prev.odom
-            information = self.inf_calculator.calc_information_matrix(kf.cloud, prev.cloud, relative_pose)
+            pending.append((kf, prev, relative_pose))
+        # adaptive information matrices for the whole flush in ONE device
+        # program (one fitness dispatch + one sync instead of one per edge)
+        infos = self.inf_calculator.calc_information_matrices_batched(
+            [(kf.cloud, prev.cloud, rp) for kf, prev, rp in pending]
+        )
+        for (kf, prev, relative_pose), information in zip(pending, infos):
             self.graph.add_se3_edge(
                 kf.node_id,
                 prev.node_id,
@@ -325,7 +334,13 @@ class HdlGraphSlam:
         loops = self.loop_detector.detect(self.keyframes, self.new_keyframes, estimates)
         for loop in loops:
             relpose = loop.relative_pose
-            information = self.inf_calculator.calc_information_matrix(loop.key1.cloud, loop.key2.cloud, relpose)
+            if np.isfinite(loop.fitness) and self.cfg.loop.fitness_score_max_range == float("inf"):
+                # the batched loop matcher already computed this exact
+                # fitness (same clouds, same pose, max_range=inf) — reuse it
+                # instead of re-dispatching an identical NN program
+                information = self.inf_calculator.information_from_fitness(loop.fitness)
+            else:
+                information = self.inf_calculator.calc_information_matrix(loop.key1.cloud, loop.key2.cloud, relpose)
             self.graph.add_se3_edge(
                 loop.key1.node_id,
                 loop.key2.node_id,

@@ -52,6 +52,12 @@ class RegistrationConfig:
     # voxel-gather work on TPU; 0.1 (GICP) and 0.5 (NDT, 2 m cells) are
     # endpoint-parity-tested settings (tests/test_registration.py).
     reg_reassoc_displacement: float = 0.0
+    # physical span (m per axis) the NDT/VGICP dense voxel grid must cover —
+    # the target cloud's extent, i.e. 2 * the prefilter far threshold. None
+    # = derived from prefilter.distance_far_thresh when this config is wired
+    # through SlamConfig (wire_derived below); standalone uses fall back to
+    # ops.voxel.DENSE_GRID_SPAN_M (256 m = 2 * the largest preset threshold).
+    reg_dense_span_m: "float | None" = None
 
 
 @dataclass
@@ -172,6 +178,21 @@ class SlamConfig:
     loop: LoopDetectorConfig = field(default_factory=LoopDetectorConfig)
     information: InformationMatrixConfig = field(default_factory=InformationMatrixConfig)
     backend: BackendConfig = field(default_factory=BackendConfig)
+
+
+def wire_derived(cfg: SlamConfig) -> SlamConfig:
+    """Fill in cross-section derived parameters (in place; returns cfg).
+
+    reg_dense_span_m: the NDT/VGICP dense voxel grid must cover the target
+    cloud's physical extent, which the prefilter bounds at
+    2 * distance_far_thresh. Called by SlamPipeline/HdlGraphSlam so a
+    non-preset far threshold > 128 m cannot silently shrink voxel coverage
+    (ADVICE r2 — the grid span was a hardcoded 256 m)."""
+    span = 2.0 * float(cfg.prefilter.distance_far_thresh)
+    for reg in (cfg.odometry.registration, cfg.loop.registration):
+        if reg.reg_dense_span_m is None:
+            reg.reg_dense_span_m = span
+    return cfg
 
 
 def _apply(cfg: SlamConfig, **sections) -> SlamConfig:

@@ -67,7 +67,7 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
         prep = lambda cloud: gicp.preprocess(cloud, k=cfg.reg_correspondence_randomness)
         make_tgt = lambda cloud, src: vgicp.preprocess_target(
             cloud, cfg.reg_resolution, max_voxels=max_voxels, k=cfg.reg_correspondence_randomness,
-            grid_size=voxelops.dense_grid_size_for(cfg.reg_resolution),
+            grid_size=voxelops.dense_grid_size_for(cfg.reg_resolution, span_m=cfg.reg_dense_span_m or voxelops.DENSE_GRID_SPAN_M),
         )
         align = lambda tgt, src, guess: vgicp.align(
             tgt, src, guess,
@@ -99,7 +99,7 @@ def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
         prep = lambda cloud: cloud
         make_tgt = lambda cloud, src: ndt.preprocess_target(
             cloud, cfg.reg_resolution, max_voxels=max_voxels,
-            grid_size=voxelops.dense_grid_size_for(cfg.reg_resolution),
+            grid_size=voxelops.dense_grid_size_for(cfg.reg_resolution, span_m=cfg.reg_dense_span_m or voxelops.DENSE_GRID_SPAN_M),
         )
         align = lambda tgt, src, guess: ndt.align(
             tgt, src, guess,

@@ -103,11 +103,14 @@ class OdometryWindow:
                 max_acceptable_trans=c.max_acceptable_trans,
                 max_acceptable_angle=c.max_acceptable_angle,
             )
-            return state, (odom, status)
+            # the filtered cloud rides along so the backend never has to
+            # re-prefilter a frame it admits as a keyframe (the arrays stay
+            # on device until a row is actually fetched)
+            return state, (odom, status, cloud.xyz, cloud.mask)
 
         def run(state, xyz, mask, stamps):
-            state, (odoms, status) = jax.lax.scan(frame, state, (xyz, mask, stamps))
-            return state, odoms, status
+            state, (odoms, status, fxyz, fmask) = jax.lax.scan(frame, state, (xyz, mask, stamps))
+            return state, odoms, status, fxyz, fmask
 
         return jax.jit(run)
 
@@ -115,6 +118,15 @@ class OdometryWindow:
         """Process a window. xyz (K, N, 3), mask (K, N), stamps (K,) — device
         or numpy arrays. Returns (new_state, odoms (K, 4, 4), status dict of
         (K, ...) arrays). One dispatch for the whole window."""
+        state, odoms, status, _, _ = self.run_with_clouds(state, xyz, mask, stamps)
+        return state, odoms, status
+
+    def run_with_clouds(self, state: OdomState, xyz, mask, stamps):
+        """Like :meth:`run` but also returns the per-frame PREFILTERED
+        clouds as (K, out_capacity, 3) xyz + (K, out_capacity) mask device
+        arrays — pipeline.run_windowed slices out the rows the backend
+        admits as keyframes instead of re-running the prefilter per
+        keyframe (one fewer dispatch + H2D per keyframe)."""
         if self._run is None:
             self._run = self._build()
         dtype = state.keyframe_pose.dtype

@@ -38,7 +38,9 @@ class SlamPipeline:
 
     def __init__(self, cfg: Optional[SlamConfig] = None, cloud_capacity: int = 16384,
                  device_odometry: bool = False):
-        self.cfg = cfg or SlamConfig()
+        from .core.config import wire_derived
+
+        self.cfg = wire_derived(cfg or SlamConfig())
         self.cloud_capacity = cloud_capacity
         self.prefilter = Prefilter(self.cfg.prefilter, out_capacity=cloud_capacity)
         if device_odometry:
@@ -217,11 +219,11 @@ class SlamPipeline:
                     return
             stamps = np.asarray([s for s, _ in pending[base:]], dtype=np.float32)
             xyz, mask = stack_scans([x for _, x in pending[base:]], capacity=cap)
-            state, odoms, _status = win.run(state, xyz, mask, stamps)
+            state, odoms, _status, fxyz, fmask = win.run_with_clouds(state, xyz, mask, stamps)
             odoms = np.asarray(odoms, dtype=np.float64)
-            # feed the backend per frame; the expensive per-frame host work
-            # (prefilter for the stored keyframe cloud, floor detection) runs
-            # only for frames the KeyframeUpdater will admit
+            # feed the backend per frame; keyframe clouds are sliced from the
+            # window program's own prefiltered output (device-resident) — no
+            # re-prefilter dispatch per admitted keyframe
             for i in range(len(stamps)):
                 stamp = float(stamps[i])
                 odom = odoms[i]
@@ -229,7 +231,7 @@ class SlamPipeline:
                 n += 1
                 if not self.slam.keyframe_updater.would_update(odom):
                     continue
-                cloud = self.prefilter(cloudlib.from_numpy(pending[base + i][1], capacity=cap))
+                cloud = cloudlib.PointCloud(xyz=fxyz[i], mask=fmask[i])
                 self.slam.add_frame(stamp, odom, cloud)
                 if self.floor is not None:
                     coeffs = self.floor.detect(cloud)

@@ -178,18 +178,37 @@ def lm_loop(
             stale = disp > 0.0
             # only trust convergence on a fresh association; a stale one
             # refreshes and re-checks next iteration
+            conv_refresh = s2.converged & stale
             conv = s2.converged & jnp.logical_not(stale)
-            refresh = (s2.converged & stale) | (disp_next > budget)
+            refresh = conv_refresh | (disp_next > budget)
             corr_n, disp_n = jax.lax.cond(
                 refresh,
                 lambda: (associate(s2.T), jnp.asarray(0.0, dtype)),
                 lambda: (corr, disp_next),
             )
+            # Stale-trial rejections inflate lambda before the convergence-
+            # triggered refresh fires; re-checking the fresh association with
+            # that inflated damping can burn iterations to max_iterations
+            # where the ungated loop converges. Re-seed the damping for the
+            # fresh re-check (ADVICE r2).
+            lam_n = jnp.where(conv_refresh, jnp.asarray(lam0, dtype), s2.lam)
+            nu_n = jnp.where(conv_refresh, jnp.asarray(2.0, dtype), s2.nu)
             # num_inliers stays s2's (the correspondences actually linearized
             # this step); a just-refreshed corr_n is only *used* next step
-            return (s2._replace(converged=conv), (corr_n, disp_n))
+            return (s2._replace(converged=conv, lam=lam_n, nu=nu_n), (corr_n, disp_n))
 
         final, _ = jax.lax.while_loop(cond, body, (init, (corr0, jnp.asarray(0.0, dtype))))
+        # Honest informational error on a max-iterations exit: the loop's
+        # last cost was evaluated under a possibly stale association; NDT
+        # recomputes a final fresh score, GICP/VGICP must match (ADVICE r2).
+        # On a converged exit the association was fresh by construction, so
+        # the (rare) recompute runs only for non-converged exits.
+        def _fresh_error():
+            return cost_at(final.T, associate(final.T))
+
+        final = final._replace(
+            error=jax.lax.cond(final.converged, lambda: final.error, _fresh_error)
+        )
     return AlignResult(
         transformation=final.T,
         converged=final.converged,

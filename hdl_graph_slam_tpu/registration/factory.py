@@ -62,12 +62,12 @@ class Registration:
         elif self.method == "VGICP":
             self._target_state = vgicp.preprocess_target(
                 cloud, c.reg_resolution, max_voxels=self.max_voxels, k=c.reg_correspondence_randomness,
-                grid_size=voxelops.dense_grid_size_for(c.reg_resolution),
+                grid_size=voxelops.dense_grid_size_for(c.reg_resolution, span_m=c.reg_dense_span_m or voxelops.DENSE_GRID_SPAN_M),
             )
         elif self.method == "NDT":
             self._target_state = ndt.preprocess_target(
                 cloud, c.reg_resolution, max_voxels=self.max_voxels,
-                grid_size=voxelops.dense_grid_size_for(c.reg_resolution),
+                grid_size=voxelops.dense_grid_size_for(c.reg_resolution, span_m=c.reg_dense_span_m or voxelops.DENSE_GRID_SPAN_M),
             )
         else:
             self._target_state = cloud

@@ -115,26 +115,36 @@ class TestGatedReassociation:
         tgt = cloudlib.from_numpy(pts @ T_true[:3, :3].T + T_true[:3, 3])
         return src, tgt, T_true
 
-    @pytest.mark.parametrize("method", ["FAST_GICP", "FAST_VGICP"])
-    def test_pose_parity_vs_per_iteration_reassoc(self, method):
+    @pytest.mark.parametrize(
+        "method,resolution,disp_on",
+        [
+            ("FAST_GICP", 1.0, 0.1),
+            ("FAST_VGICP", 1.0, 0.1),
+            # NDT gates cell re-association the same way (ndt.align); 0.5 m
+            # budget at 2 m cells is the documented production setting
+            # (core/config.py reg_reassoc_displacement)
+            ("NDT_OMP", 2.0, 0.5),
+        ],
+    )
+    def test_pose_parity_vs_per_iteration_reassoc(self, method, resolution, disp_on):
         src, tgt, T_true = self._pair()
         results = {}
-        for disp in (0.0, 0.1):
+        for disp in (0.0, disp_on):
             cfg = RegistrationConfig(
-                registration_method=method, reg_resolution=1.0, reg_reassoc_displacement=disp
+                registration_method=method, reg_resolution=resolution, reg_reassoc_displacement=disp
             )
             reg = Registration(cfg, max_voxels=4096)
             reg.set_target(tgt)
             res = reg.align(src)
             assert bool(res.converged), f"{method} disp={disp} did not converge"
             results[disp] = np.asarray(res.transformation)
-        err = np.linalg.inv(results[0.0]) @ results[0.1]
+        err = np.linalg.inv(results[0.0]) @ results[disp_on]
         t_err = np.linalg.norm(err[:3, 3])
         r_err = float(se3.rotation_angle(jnp.asarray(err[:3, :3])))
         assert t_err < 5e-3, f"{method}: gated/ungated translation differ by {t_err}"
         assert r_err < 5e-3, f"{method}: gated/ungated rotation differ by {r_err}"
         # and both recover the truth
-        err_true = np.linalg.inv(results[0.1]) @ T_true
+        err_true = np.linalg.inv(results[disp_on]) @ T_true
         assert np.linalg.norm(err_true[:3, 3]) < 0.05
 
     def test_gated_from_cold_guess(self):
