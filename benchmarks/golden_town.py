@@ -79,7 +79,12 @@ def main():
     def run_once():
         pipe = SlamPipeline(cfg, cloud_capacity=4096)
         t0 = time.perf_counter()
-        pipe.run_windowed(list(frames), window=16)
+        # raw_capacity must hold the full 32x512-beam scans (10-12k pts):
+        # the default (2*cloud_capacity = 8192) would subsample them, and
+        # before the r4 strided-subsample fix it TRUNCATED them ring-major,
+        # leaving ~99% ground points and no horizontal constraint at all
+        # (the round-3 ATE=23.8 m "never executed" result).
+        pipe.run_windowed(list(frames), window=16, raw_capacity=16384)
         dt = time.perf_counter() - t0
         return pipe, dt
 

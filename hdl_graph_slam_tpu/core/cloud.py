@@ -75,7 +75,17 @@ def from_numpy(
     points = np.asarray(points, dtype=dtype).reshape(-1, 3)
     n = points.shape[0]
     cap = capacity if capacity is not None else bucket_capacity(n, buckets)
-    n_keep = min(n, cap)
+    if n > cap:
+        # uniform strided subsample, NOT head truncation: spinning-lidar
+        # points arrive ring-major, so taking the first `cap` rows would
+        # systematically drop the upper rings (all vertical structure) —
+        # exactly the scans that constrain horizontal motion.
+        sel = np.linspace(0, n - 1, cap).round().astype(np.int64)
+        points = points[sel]
+        if intensity is not None:
+            intensity = np.asarray(intensity).reshape(-1)[sel]
+        n = cap
+    n_keep = n
     xyz = np.full((cap, 3), PAD_COORD, dtype=dtype)
     xyz[:n_keep] = points[:n_keep]
     mask = np.zeros((cap,), dtype=bool)

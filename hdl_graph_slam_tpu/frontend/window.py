@@ -39,7 +39,11 @@ def stack_scans(scans, capacity: int, dtype=np.float32):
     mask = np.zeros((k, capacity), dtype=bool)
     for i, s in enumerate(scans):
         s = np.asarray(s, dtype=dtype).reshape(-1, 3)
-        n = min(s.shape[0], capacity)
+        if s.shape[0] > capacity:
+            # uniform strided subsample (see core.cloud.from_numpy): head
+            # truncation of ring-major lidar data drops the upper rings.
+            s = s[np.linspace(0, s.shape[0] - 1, capacity).round().astype(np.int64)]
+        n = s.shape[0]
         xyz[i, :n] = s[:n]
         mask[i, :n] = True
     return xyz, mask
@@ -63,17 +67,22 @@ class OdometryWindow:
         self._fns = make_method_fns(self.cfg.registration, max_voxels=max_voxels)
         self._run = None
 
-    def _prefilter(self, cloud: PointCloud) -> PointCloud:
+    def _prefilter(self, cloud: PointCloud, ang_vel=None) -> PointCloud:
         if self._pf is None:
             return cloud
         dtype = cloud.xyz.dtype
-        return self._pf(cloud, jnp.eye(4, dtype=dtype), jnp.zeros(3, dtype))
+        if ang_vel is None:
+            ang_vel = jnp.zeros(3, dtype)
+        return self._pf(cloud, jnp.eye(4, dtype=dtype), jnp.asarray(ang_vel, dtype))
 
-    def init_state(self, stamp: float, raw_cloud: PointCloud) -> OdomState:
+    def init_state(self, stamp: float, raw_cloud: PointCloud, ang_vel=None) -> OdomState:
         """Bootstrap from the first frame (sets it as the keyframe target,
-        scan_matching_odometry_nodelet.cpp:166-174)."""
+        scan_matching_odometry_nodelet.cpp:166-174). ``ang_vel`` (3,) deskews
+        the bootstrap scan when the prefilter config enables deskewing."""
         prep, make_tgt, _ = self._fns
-        cloud = jax.jit(self._prefilter)(raw_cloud) if self._pf is not None else raw_cloud
+        cloud = (
+            jax.jit(self._prefilter)(raw_cloud, ang_vel) if self._pf is not None else raw_cloud
+        )
         tgt = make_tgt(cloud, prep(cloud))
         dtype = raw_cloud.xyz.dtype
         return OdomState(
@@ -88,8 +97,8 @@ class OdometryWindow:
         prep, make_tgt, align = self._fns
 
         def frame(state, inp):
-            xyz, mask, stamp = inp
-            cloud = self._prefilter(PointCloud(xyz=xyz, mask=mask))
+            xyz, mask, stamp, ang_vel = inp
+            cloud = self._prefilter(PointCloud(xyz=xyz, mask=mask), ang_vel)
             state, odom, status = device_step_impl(
                 state,
                 cloud,
@@ -108,20 +117,26 @@ class OdometryWindow:
             # on device until a row is actually fetched)
             return state, (odom, status, cloud.xyz, cloud.mask)
 
-        def run(state, xyz, mask, stamps):
-            state, (odoms, status, fxyz, fmask) = jax.lax.scan(frame, state, (xyz, mask, stamps))
+        def run(state, xyz, mask, stamps, ang_vels):
+            state, (odoms, status, fxyz, fmask) = jax.lax.scan(
+                frame, state, (xyz, mask, stamps, ang_vels)
+            )
             return state, odoms, status, fxyz, fmask
 
         return jax.jit(run)
 
-    def run(self, state: OdomState, xyz, mask, stamps):
+    def run(self, state: OdomState, xyz, mask, stamps, ang_vel=None):
         """Process a window. xyz (K, N, 3), mask (K, N), stamps (K,) — device
-        or numpy arrays. Returns (new_state, odoms (K, 4, 4), status dict of
-        (K, ...) arrays). One dispatch for the whole window."""
-        state, odoms, status, _, _ = self.run_with_clouds(state, xyz, mask, stamps)
+        or numpy arrays. ``ang_vel`` (K, 3) per-frame IMU angular velocity for
+        deskewing (prefiltering_nodelet.cpp:182-243); default zeros = no
+        deskew, matching the pre-r4 behavior (and a no-op unless the
+        prefilter config sets deskewing=True). Returns (new_state,
+        odoms (K, 4, 4), status dict of (K, ...) arrays). One dispatch for
+        the whole window."""
+        state, odoms, status, _, _ = self.run_with_clouds(state, xyz, mask, stamps, ang_vel)
         return state, odoms, status
 
-    def run_with_clouds(self, state: OdomState, xyz, mask, stamps):
+    def run_with_clouds(self, state: OdomState, xyz, mask, stamps, ang_vel=None):
         """Like :meth:`run` but also returns the per-frame PREFILTERED
         clouds as (K, out_capacity, 3) xyz + (K, out_capacity) mask device
         arrays — pipeline.run_windowed slices out the rows the backend
@@ -130,6 +145,13 @@ class OdometryWindow:
         if self._run is None:
             self._run = self._build()
         dtype = state.keyframe_pose.dtype
+        k = jnp.shape(stamps)[0]
+        if ang_vel is None:
+            ang_vel = jnp.zeros((k, 3), dtype)
         return self._run(
-            state, jnp.asarray(xyz, dtype), jnp.asarray(mask, bool), jnp.asarray(stamps, dtype)
+            state,
+            jnp.asarray(xyz, dtype),
+            jnp.asarray(mask, bool),
+            jnp.asarray(stamps, dtype),
+            jnp.asarray(ang_vel, dtype),
         )

@@ -40,6 +40,22 @@ _TAG_TO_TYPE = {v: k for k, v in _EDGE_TAGS.items()}
 _UNARY = {"se3_prior_xy", "se3_prior_xyz", "se3_prior_vec", "se3_prior_quat",
           "plane_prior_normal", "plane_prior_distance"}
 
+# vertex kinds per edge type (order = g2o vertices() order)
+_EDGE_KINDS = {
+    "se3_se3": ("pose", "pose"),
+    "se3_plane": ("pose", "plane"),
+    "plane_identity": ("plane", "plane"),
+    "plane_parallel": ("plane", "plane"),
+    "plane_perpendicular": ("plane", "plane"),
+    "se3_point_xyz": ("pose", "point"),
+    "se3_prior_xy": ("pose",),
+    "se3_prior_xyz": ("pose",),
+    "se3_prior_vec": ("pose",),
+    "se3_prior_quat": ("pose",),
+    "plane_prior_normal": ("plane",),
+    "plane_prior_distance": ("plane",),
+}
+
 
 def _quat_xyzw_from_mat(R):
     import jax.numpy as jnp
@@ -80,11 +96,7 @@ def save_g2o(builder: GraphBuilder, path: str) -> None:
     kernel_lines = []
     for etype, rows in builder.edge_rows.items():
         tag = _EDGE_TAGS[etype]
-        kinds = {"se3_se3": ("pose", "pose"), "se3_plane": ("pose", "plane"),
-                 "plane_identity": ("plane", "plane"), "plane_parallel": ("plane", "plane"),
-                 "plane_perpendicular": ("plane", "plane"), "se3_point_xyz": ("pose", "point")}.get(
-            etype, ("pose" if etype.startswith("se3") else "plane",)
-        )
+        kinds = _EDGE_KINDS[etype]
         base = {"pose": pose_base, "plane": plane_base, "point": point_base}
         for r in rows:
             ids = [base[kinds[0]] + r["vi"]]
@@ -109,9 +121,10 @@ def save_g2o(builder: GraphBuilder, path: str) -> None:
                 + " ".join(f"{v:.9g}" for v in ivals)
             )
             if r["kernel_id"] != 0:
-                # robust_kernel_io format: TAG ids... kernel_name delta
+                # reference robust_kernel_io format (robust_kernel_io.cpp:66-71):
+                # <num_vertices> <id0> [<id1>] <KernelType> <delta>
                 kernel_lines.append(
-                    f"{tag} " + " ".join(str(i) for i in ids)
+                    f"{len(ids)} " + " ".join(str(i) for i in ids)
                     + f" {KERNEL_NAMES[r['kernel_id']]} {r['kernel_delta']:.9g}"
                 )
 
@@ -217,23 +230,25 @@ def load_g2o(path: str) -> GraphBuilder:
 
     kpath = path + ".kernels"
     if os.path.exists(kpath):
-        # rebuild by matching (tag, ids) tuples in insertion order
-        rows_by_key: Dict[tuple, list] = {}
+        # reference format (robust_kernel_io.cpp:66-71, KernelData::match):
+        # "<num_vertices> <global_id...> <KernelType> <delta>"; kernels attach
+        # to every edge whose global vertex-id tuple matches.
+        inv_id = {v: k for k, v in id_map.items()}  # (kind, local) -> global
+        rows_by_gids: Dict[tuple, list] = {}
         for etype, rows in g.edge_rows.items():
+            kinds = _EDGE_KINDS[etype]
             for r in rows:
-                key = (etype, r["vi"], r["vj"])
-                rows_by_key.setdefault(key, []).append(r)
+                local = (r["vi"],) if len(kinds) == 1 else (r["vi"], r["vj"])
+                gids = tuple(inv_id[(k, i)] for k, i in zip(kinds, local))
+                rows_by_gids.setdefault(gids, []).append(r)
         for line in open(kpath):
             parts = line.split()
             if not parts:
                 continue
-            etype = _TAG_TO_TYPE[parts[0]]
-            unary = etype in _UNARY
-            n_ids = 1 if unary else 2
-            ids = [id_map[int(v)][1] for v in parts[1 : 1 + n_ids]]
-            name, delta = parts[1 + n_ids], float(parts[2 + n_ids])
-            key = (etype, ids[0], ids[1] if len(ids) > 1 else 0)
-            for r in rows_by_key.get(key, []):
+            n = int(parts[0])
+            gids = tuple(int(v) for v in parts[1 : 1 + n])
+            name, delta = parts[1 + n], float(parts[2 + n])
+            for r in rows_by_gids.get(gids, []):
                 r["kernel_id"] = KERNEL_IDS[name]
                 r["kernel_delta"] = delta
     return g

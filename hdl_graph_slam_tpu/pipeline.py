@@ -183,6 +183,10 @@ class SlamPipeline:
         a window (offline replay rarely has them), and floor detection runs
         only on frames the backend admits as keyframes (floor measurements
         are keyframe-associated anyway, hdl_graph_slam_nodelet.cpp:470-511).
+        Deskewing IS threaded (prefiltering_nodelet.cpp:182-243): each frame
+        carries the latest IMU angular velocity seen at enqueue time (feed
+        them by calling add_imu from the frames generator), same snapshot
+        rule as the host path's _last_ang_vel.
         """
         from .frontend.window import OdometryWindow, stack_scans
 
@@ -190,10 +194,18 @@ class SlamPipeline:
         win = OdometryWindow(
             self.cfg.odometry, prefilter_cfg=self.cfg.prefilter, out_capacity=self.cloud_capacity
         )
+        deskew = self.cfg.prefilter.deskewing
         t0 = time.perf_counter()
         n = 0
         state = None
-        pending: list = []  # [(stamp, raw xyz)]
+        pending: list = []  # [(stamp, raw xyz, ang_vel or None)]
+
+        def _ang_vels(items):
+            out = np.zeros((len(items), 3), dtype=np.float64)
+            for i, (_, _, w) in enumerate(items):
+                if w is not None:
+                    out[i] = w
+            return out
 
         def flush_window():
             nonlocal state, n
@@ -204,9 +216,10 @@ class SlamPipeline:
                 # first frame bootstraps the keyframe (:166-174)
                 stamp0 = pending[0][0]
                 first = cloudlib.from_numpy(pending[0][1], capacity=cap)
-                state = win.init_state(stamp0, first)
+                w0 = pending[0][2]
+                state = win.init_state(stamp0, first, ang_vel=w0)
                 self.odometry_trajectory.append((stamp0, np.eye(4)))
-                cloud0 = self.prefilter(first)
+                cloud0 = self.prefilter(first, ang_vel=w0)
                 self.slam.add_frame(stamp0, np.eye(4), cloud0)
                 if self.floor is not None:
                     coeffs = self.floor.detect(cloud0)
@@ -217,9 +230,12 @@ class SlamPipeline:
                 if len(pending) == 1:
                     pending.clear()
                     return
-            stamps = np.asarray([s for s, _ in pending[base:]], dtype=np.float32)
-            xyz, mask = stack_scans([x for _, x in pending[base:]], capacity=cap)
-            state, odoms, _status, fxyz, fmask = win.run_with_clouds(state, xyz, mask, stamps)
+            stamps = np.asarray([s for s, _, _ in pending[base:]], dtype=np.float32)
+            xyz, mask = stack_scans([x for _, x, _ in pending[base:]], capacity=cap)
+            ang_vels = _ang_vels(pending[base:])
+            state, odoms, _status, fxyz, fmask = win.run_with_clouds(
+                state, xyz, mask, stamps, ang_vel=ang_vels
+            )
             odoms = np.asarray(odoms, dtype=np.float64)
             # feed the backend per frame; keyframe clouds are sliced from the
             # window program's own prefiltered output (device-resident) — no
@@ -240,7 +256,8 @@ class SlamPipeline:
             pending.clear()
 
         for item in frames:
-            pending.append((float(item[0]), item[1]))
+            w = self._last_ang_vel if deskew else None
+            pending.append((float(item[0]), item[1], w))
             if len(pending) >= window:
                 flush_window()
                 if (

@@ -305,6 +305,46 @@ class TestFilters:
         assert np.abs(out_s - pts).max() > 1e-3
 
 
+class TestCapacityOverflow:
+    """When a scan exceeds capacity, from_numpy/stack_scans must take a
+    UNIFORM strided subsample, not the head: spinning-lidar points arrive
+    ring-major, so head truncation drops the upper rings — on the golden
+    town course that left ~99% ground points and no horizontal constraint
+    (the round-3 ATE=23.8 m result; see benchmarks/golden_town.py)."""
+
+    def test_from_numpy_subsamples_uniformly(self):
+        # ring-major layout: first half "ground" (z=0), second half "walls"
+        n = 1000
+        pts = np.zeros((n, 3))
+        pts[:, 0] = np.arange(n)
+        pts[n // 2:, 2] = 5.0
+        c = cloudlib.from_numpy(pts, capacity=100)
+        kept = np.asarray(c.xyz)[np.asarray(c.mask)]
+        assert kept.shape[0] == 100
+        wall_frac = np.mean(kept[:, 2] > 1.0)
+        assert 0.4 < wall_frac < 0.6, wall_frac  # head truncation would give 0
+        # intensity rides the same subsample
+        c2 = cloudlib.from_numpy(pts, capacity=100, intensity=pts[:, 0].copy())
+        inten = np.asarray(c2.intensity)[np.asarray(c2.mask)]
+        np.testing.assert_allclose(inten, kept[:, 0], atol=0)
+
+    def test_stack_scans_subsamples_uniformly(self):
+        from hdl_graph_slam_tpu.frontend.window import stack_scans
+
+        n = 1000
+        pts = np.zeros((n, 3))
+        pts[n // 2:, 2] = 5.0
+        xyz, mask = stack_scans([pts, pts[:50]], capacity=100)
+        assert mask[0].sum() == 100 and mask[1].sum() == 50
+        wall_frac = np.mean(xyz[0][mask[0]][:, 2] > 1.0)
+        assert 0.4 < wall_frac < 0.6, wall_frac
+
+    def test_no_subsample_when_it_fits(self):
+        pts = np.arange(30, dtype=np.float64).reshape(10, 3)
+        c = cloudlib.from_numpy(pts, capacity=16)
+        np.testing.assert_allclose(np.asarray(c.xyz)[:10], pts)
+
+
 class TestNormals:
     def test_plane_normals(self):
         rng = np.random.default_rng(15)
