@@ -76,6 +76,13 @@ class OdometryConfig:
     # 193-207: tf delta of the sensor between prev_time and stamp in the
     # robot_odom frame). Feed poses via SlamPipeline.add_robot_odometry().
     enable_robot_odometry_init_guess: bool = False
+    # constant-velocity warm start (opt-in; no reference analog — the
+    # reference's zero-velocity guess is the default): seed each align with
+    # prev_trans @ prev_frame_delta instead of prev_trans. Cuts Newton/LM
+    # iterations for slow-converging methods (NDT) at sensor rates where
+    # motion is smooth. Do not combine with an external msf/robot-odometry
+    # guess (both would be applied).
+    constant_velocity_guess: bool = False
     registration: RegistrationConfig = field(default_factory=RegistrationConfig)
 
 

@@ -49,6 +49,8 @@ class OdomState:
     keyframe_pose: jax.Array  # (4,4)
     prev_trans: jax.Array  # (4,4) transform since keyframe
     keyframe_stamp: jax.Array  # ()
+    prev_delta: jax.Array  # (4,4) last accepted frame-to-frame motion
+    # (identity unless constant_velocity_guess consumes it)
 
 
 def make_method_fns(cfg: RegistrationConfig, max_voxels: int = 8192):
@@ -125,12 +127,17 @@ def device_step_impl(
     transform_thresholding,
     max_acceptable_trans,
     max_acceptable_angle,
+    constant_velocity_guess=False,
 ):
     """One full odometry frame on device (matching(), scan_matching_odometry
     _nodelet.cpp:165-262). Pure/traceable — jitted by DeviceOdometry and
     scanned by frontend/window.py."""
     src = prep(cloud)
     guess = state.prev_trans @ msf_delta
+    if constant_velocity_guess:
+        # warm start from the last accepted frame-to-frame motion
+        # (OdometryConfig.constant_velocity_guess; opt-in, no reference analog)
+        guess = guess @ state.prev_delta
     res = align(state.tgt, src, guess)
 
     # convergence gate (:214-218): ignore frame, keep prev_trans
@@ -165,11 +172,16 @@ def device_step_impl(
         lambda: make_tgt(cloud, src),
         lambda: state.tgt,
     )
+    # frame-to-frame motion of this frame (for the constant-velocity warm
+    # start); keep the previous estimate when the frame was rejected so the
+    # prediction coasts through a dropped frame
+    frame_delta = se3.inverse(state.prev_trans) @ trans
     new_state = OdomState(
         tgt=new_tgt,
         keyframe_pose=jnp.where(switch, odom, state.keyframe_pose),
         prev_trans=jnp.where(switch, eye, jnp.where(accepted, trans, state.prev_trans)),
         keyframe_stamp=jnp.where(switch, stamp, state.keyframe_stamp),
+        prev_delta=jnp.where(accepted, frame_delta, state.prev_delta),
     )
     n_src = jnp.clip(jnp.sum(cloud.mask.astype(jnp.int32)), 1, None)
     status = dict(
@@ -212,6 +224,7 @@ class DeviceOdometry:
                 transform_thresholding=c.transform_thresholding,
                 max_acceptable_trans=c.max_acceptable_trans,
                 max_acceptable_angle=c.max_acceptable_angle,
+                constant_velocity_guess=c.constant_velocity_guess,
             )
 
         return jax.jit(step)
@@ -230,6 +243,7 @@ class DeviceOdometry:
                 keyframe_pose=jnp.eye(4, dtype=dtype),
                 prev_trans=jnp.eye(4, dtype=dtype),
                 keyframe_stamp=jnp.asarray(stamp, dtype),
+                prev_delta=jnp.eye(4, dtype=dtype),
             )
             return jnp.eye(4, dtype=dtype)
         have_guess = msf_delta is not None

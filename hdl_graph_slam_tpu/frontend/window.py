@@ -90,6 +90,7 @@ class OdometryWindow:
             keyframe_pose=jnp.eye(4, dtype=dtype),
             prev_trans=jnp.eye(4, dtype=dtype),
             keyframe_stamp=jnp.asarray(stamp, dtype),
+            prev_delta=jnp.eye(4, dtype=dtype),
         )
 
     def _build(self):
@@ -111,6 +112,7 @@ class OdometryWindow:
                 transform_thresholding=c.transform_thresholding,
                 max_acceptable_trans=c.max_acceptable_trans,
                 max_acceptable_angle=c.max_acceptable_angle,
+                constant_velocity_guess=c.constant_velocity_guess,
             )
             # the filtered cloud rides along so the backend never has to
             # re-prefilter a frame it admits as a keyframe (the arrays stay

@@ -248,6 +248,41 @@ class TestWindowedTracking:
     paths agreed while going nowhere. This pins per-method tracking on a
     small-step course, the regime that exposed the bug."""
 
+    def test_constant_velocity_guess_tracks_with_fewer_iterations(self):
+        """OdometryConfig.constant_velocity_guess seeds each align with the
+        previous frame's accepted delta: on a constant-velocity course the
+        NDT Newton loop must converge in fewer total iterations while
+        tracking at least as well (the r4 NDT windowed-throughput lever)."""
+        world = make_world(n=9000)
+        step, n = 0.1, 6
+        scans = []
+        for i in range(n + 1):
+            pose = np.eye(4)
+            pose[0, 3] = step * i
+            scans.append(scan_at(world, pose, n_keep=2400, seed=i))
+        xyz, mask = stack_scans(scans[1:], capacity=2560)
+        stamps = 0.1 * np.arange(1, n + 1)
+
+        results = {}
+        for cv in (False, True):
+            cfg = OdometryConfig(
+                keyframe_delta_trans=5.0,
+                keyframe_delta_time=1e9,
+                constant_velocity_guess=cv,
+                registration=RegistrationConfig(registration_method="NDT_OMP", reg_resolution=2.0),
+            )
+            win = OdometryWindow(cfg, max_voxels=2048)
+            state = win.init_state(0.0, cloudlib.from_numpy(scans[0], capacity=2560))
+            _, odoms, status = win.run(state, xyz, mask, stamps)
+            results[cv] = (
+                float(np.asarray(odoms)[-1][0, 3]),
+                int(np.asarray(status["iterations"]).sum()),
+            )
+        expected = step * n
+        for cv, (got, _) in results.items():
+            assert abs(got - expected) < 0.5 * expected, (cv, got, expected)
+        assert results[True][1] < results[False][1], results
+
     @pytest.mark.parametrize(
         "method,resolution,tol_frac",
         [
