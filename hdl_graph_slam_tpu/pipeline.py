@@ -172,6 +172,7 @@ class SlamPipeline:
         frames: Iterable[Tuple[float, np.ndarray, Optional[np.ndarray]]],
         window: int = 64,
         raw_capacity: Optional[int] = None,
+        overlap_backend: bool = False,
     ) -> PipelineResult:
         """Offline throughput mode: prefilter + odometry for ``window``
         frames per device dispatch (frontend/window.py — the reference's
@@ -187,6 +188,14 @@ class SlamPipeline:
         carries the latest IMU angular velocity seen at enqueue time (feed
         them by calling add_imu from the frames generator), same snapshot
         rule as the host path's _last_ang_vel.
+
+        ``overlap_backend=True`` runs each due optimize cycle on a worker
+        thread so the frontend's next window dispatches concurrently — the
+        reference's timer-decoupled nodelet architecture
+        (hdl_graph_slam_nodelet.cpp:137-139) applied to offline replay. The
+        HdlGraphSlam locks make this safe; cycle timing relative to window
+        boundaries becomes wall-clock dependent, so keep the default
+        (synchronous, deterministic) for golden/parity runs.
         """
         from .frontend.window import OdometryWindow, stack_scans
 
@@ -255,18 +264,40 @@ class SlamPipeline:
                         self.slam.add_floor(FloorMeasurement(stamp=stamp, coeffs=coeffs))
             pending.clear()
 
-        for item in frames:
-            w = self._last_ang_vel if deskew else None
-            pending.append((float(item[0]), item[1], w))
-            if len(pending) >= window:
-                flush_window()
-                if (
-                    self._last_optimize_stream_time is None
-                    or item[0] - self._last_optimize_stream_time >= self.cfg.backend.graph_update_interval
-                ):
-                    self.slam.optimize_cycle()
-                    self._last_optimize_stream_time = item[0]
-        flush_window()
+        executor = None
+        pending_cycle = None
+        if overlap_backend:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="backend")
+
+        def run_cycle():
+            nonlocal pending_cycle
+            if executor is not None:
+                if pending_cycle is not None:
+                    pending_cycle.result()  # surface worker exceptions
+                pending_cycle = executor.submit(self.slam.optimize_cycle)
+            else:
+                self.slam.optimize_cycle()
+
+        try:
+            for item in frames:
+                w = self._last_ang_vel if deskew else None
+                pending.append((float(item[0]), item[1], w))
+                if len(pending) >= window:
+                    flush_window()
+                    if (
+                        self._last_optimize_stream_time is None
+                        or item[0] - self._last_optimize_stream_time >= self.cfg.backend.graph_update_interval
+                    ):
+                        run_cycle()
+                        self._last_optimize_stream_time = item[0]
+            flush_window()
+            if pending_cycle is not None:
+                pending_cycle.result()
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         self.finish()
         wall = time.perf_counter() - t0
         return PipelineResult(

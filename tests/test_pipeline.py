@@ -599,6 +599,39 @@ class TestWindowedPipeline:
         for (s1, T1), (s2, T2) in zip(r_seq.odometry_trajectory, r_win.odometry_trajectory):
             np.testing.assert_allclose(T1, T2, atol=1e-4)
 
+    def test_run_windowed_overlap_backend(self, world):
+        """overlap_backend=True (backend cycles on a worker thread, the
+        timer-decoupled nodelet architecture in offline replay) must produce
+        the same odometry and an equivalent final graph: the odometry window
+        never depends on backend output, and flush() settles the graph."""
+        from hdl_graph_slam_tpu.pipeline import SlamPipeline
+
+        def mk():
+            cfg = SlamConfig()
+            cfg.prefilter.downsample_resolution = 0.4
+            cfg.prefilter.outlier_removal_method = "NONE"
+            cfg.odometry.keyframe_delta_trans = 1.0
+            cfg.odometry.keyframe_delta_time = 1e9
+            cfg.backend.keyframe_delta_trans = 1.0
+            cfg.backend.graph_update_interval = 3.0
+            return cfg
+
+        poses = drive_square(side=4.0, step=1.0)[:9]
+        frames = [(float(i), scan_at(world, p, seed=i, n_keep=3000), None) for i, p in enumerate(poses)]
+
+        r_sync = SlamPipeline(mk(), cloud_capacity=4096).run_windowed(list(frames), window=4)
+        r_ovl = SlamPipeline(mk(), cloud_capacity=4096).run_windowed(
+            list(frames), window=4, overlap_backend=True
+        )
+        assert r_ovl.num_frames == r_sync.num_frames == 9
+        assert r_ovl.num_keyframes == r_sync.num_keyframes
+        for (s1, T1), (s2, T2) in zip(r_sync.odometry_trajectory, r_ovl.odometry_trajectory):
+            np.testing.assert_allclose(T1, T2, atol=1e-6)
+        # final optimized trajectories agree after the settling flush
+        for (s1, T1), (s2, T2) in zip(r_sync.trajectory, r_ovl.trajectory):
+            assert s1 == s2
+            np.testing.assert_allclose(T1, T2, atol=1e-2)
+
 
 class TestImuPreset:
     """launch/hdl_graph_slam_imu.launch analog: IMU-deskewed NDT odometry
