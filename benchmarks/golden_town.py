@@ -69,11 +69,19 @@ def main():
     cfg.backend.fix_first_node_stddev = "10 10 1000 1 1 1"
     cfg.backend.g2o_solver_num_iterations = 60
     cfg.backend.graph_update_interval = 10.0
+    # loop gates: the reference's own outdoor tuning
+    # (launch/hdl_graph_slam_400.launch:105-108 — distance_thresh 15, accum 25,
+    # min_edge_interval 15, fitness 2.5; hdl_graph_slam.launch goes to 20 m).
+    # The first golden_town run used distance_thresh=8.0 and detected ZERO
+    # loops over two laps: odometry drift at the lap-2 revisit exceeds 8 m of
+    # estimated separation, so every candidate was gated out before matching.
+    # The estimated-distance gate must be sized ABOVE the expected drift —
+    # exactly why the reference ships 15-20 m for outdoor courses.
     cfg.loop.registration = reg
-    cfg.loop.distance_thresh = 8.0
+    cfg.loop.distance_thresh = 15.0
     cfg.loop.accum_distance_thresh = 25.0
-    cfg.loop.min_edge_interval = 10.0
-    cfg.loop.fitness_score_thresh = 1.5
+    cfg.loop.min_edge_interval = 15.0
+    cfg.loop.fitness_score_thresh = 2.5
     cfg.floor.enabled = False
 
     def run_once():

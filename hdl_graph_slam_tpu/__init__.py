@@ -9,3 +9,31 @@ search, and jit/vmap/shard_map.
 """
 
 __version__ = "0.1.0"
+
+# Matmul precision (round-4 correctness find): the TPU MXU's DEFAULT
+# precision truncates f32 operands to bf16 (8-bit mantissa). At bf16, a
+# single 4x4 pose composition perturbs the rotation block by up to
+# ulp(1)=2^-8 (measured det(R)=1.0055 after ONE product; compounding at
+# ~0.3%/frame through a turn until the pose-graph residuals see phantom
+# chi2 and the optimizer corrupts the trajectory), transform_points moves
+# 50 m points by ~7 cm, and the brute-force 1-NN mis-selects ~24% of
+# neighbors on 8192^2 random clouds (argmin agreement vs f32: 0.756).
+#
+# Policy (PERF.md round-4 post-mortem, all numbers measured on chip):
+# - global default HIGH (bf16_3x): rel err ~2e-5, NN argmin agreement vs
+#   true f32 = 0.9993 (near-ties only) — exactness-per-cost for the bulk
+#   distance/covariance matmuls that dominate the frame (global HIGHEST
+#   measured 235 fps on bench.py vs ~400 at HIGH);
+# - pose-manifold ops (se3.compose / transform_points / se3_oplus and the
+#   odometry/LM composition sites) pin precision=HIGHEST regardless of the
+#   global flag: HIGH still drifts det(R) by 2.4e-5 per product, and pose
+#   chains compose hundreds of products;
+# - the backend additionally polar-projects incoming odometry onto SO(3)
+#   (backend/slam.py add_frame) so graph measurements stay orthogonal no
+#   matter what produced them.
+# Respect an explicit user setting; otherwise make correctness the default.
+import jax as _jax
+
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "high")
+del _jax

@@ -87,12 +87,27 @@ class HdlGraphSlam:
     # -- ingestion -----------------------------------------------------------
 
     def add_frame(self, stamp: float, odom: np.ndarray, cloud: PointCloud) -> bool:
-        """cloud_callback (:149-178): gate by KeyframeUpdater, enqueue."""
+        """cloud_callback (:149-178): gate by KeyframeUpdater, enqueue.
+
+        The odometry rotation is projected back onto SO(3) (polar
+        projection) before it becomes a graph measurement: the SE(3) edge
+        residual log(M^-1 · rel) on a non-orthogonal rotation reports
+        phantom chi2 that the optimizer "repairs" by bending the trajectory
+        (the round-4 bf16-matmul post-mortem in PERF.md — a det(R)=1.1 odom
+        chain corrupted estimates by 10-30 m and silenced the loop
+        detector). The projection is exact for healthy inputs and a few
+        microseconds per keyframe."""
+        odom = np.asarray(odom, dtype=np.float64).copy()
+        U, _s, Vt = np.linalg.svd(odom[:3, :3])
+        R = U @ Vt
+        if np.linalg.det(R) < 0.0:  # keep it a rotation, not a reflection
+            R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+        odom[:3, :3] = R
         if not self.keyframe_updater.update(odom):
             return False
         kf = KeyFrame(
             stamp=stamp,
-            odom=np.asarray(odom, dtype=np.float64),
+            odom=odom,
             accum_distance=self.keyframe_updater.get_accum_distance(),
             cloud=cloud,
         )

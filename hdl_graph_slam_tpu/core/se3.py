@@ -16,6 +16,7 @@ CPU tests with jax_enable_x64).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
@@ -58,14 +59,24 @@ def inverse(T):
 
 
 def compose(A, B):
-    return A @ B
+    """SE(3) product at HIGHEST matmul precision.
+
+    Pose composition must be true f32 regardless of the process-global
+    matmul-precision flag: at the TPU MXU's bf16 DEFAULT a single 4x4
+    product perturbs the rotation block by up to 2^-8 (det 1.0055 measured),
+    and odometry composes hundreds of these — see the package __init__
+    docstring for the full round-4 post-mortem."""
+    return jnp.matmul(A, B, precision=jax.lax.Precision.HIGHEST)
 
 
 def transform_points(T, pts):
-    """Apply SE(3) to points of shape (..., 3)."""
+    """Apply SE(3) to points of shape (..., 3). HIGHEST-precision matmul:
+    at the MXU's bf16 DEFAULT this moved 50 m points by ~7 cm."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return jnp.matmul(
+        pts, jnp.swapaxes(R, -1, -2), precision=jax.lax.Precision.HIGHEST
+    ) + t[..., None, :]
 
 
 def hat(w):
@@ -301,5 +312,6 @@ def mqt_log(T):
 
 
 def se3_oplus(T, delta):
-    """g2o VertexSE3 oplus: right-multiply by the MQT increment."""
-    return T @ mqt_exp(delta)
+    """g2o VertexSE3 oplus: right-multiply by the MQT increment
+    (HIGHEST-precision product — pose updates must stay on SE(3))."""
+    return compose(T, mqt_exp(delta))

@@ -133,18 +133,18 @@ def device_step_impl(
     _nodelet.cpp:165-262). Pure/traceable — jitted by DeviceOdometry and
     scanned by frontend/window.py."""
     src = prep(cloud)
-    guess = state.prev_trans @ msf_delta
+    guess = se3.compose(state.prev_trans, msf_delta)
     if constant_velocity_guess:
         # warm start from the last accepted frame-to-frame motion
         # (OdometryConfig.constant_velocity_guess; opt-in, no reference analog)
-        guess = guess @ state.prev_delta
+        guess = se3.compose(guess, state.prev_delta)
     res = align(state.tgt, src, guess)
 
     # convergence gate (:214-218): ignore frame, keep prev_trans
     trans = jnp.where(res.converged, res.transformation, state.prev_trans)
 
     # transform thresholding (:223-233) with the reference's acos(q.w) angle
-    delta = se3.inverse(state.prev_trans) @ trans
+    delta = se3.compose(se3.inverse(state.prev_trans), trans)
     dxy = jnp.linalg.norm(delta[:3, 3])
     qw = jnp.clip(se3.quat_from_mat(delta[:3, :3])[0], -1.0, 1.0)
     da = jnp.arccos(qw)
@@ -153,7 +153,7 @@ def device_step_impl(
     trans = jnp.where(reject, state.prev_trans, trans)
     accepted = res.converged & jnp.logical_not(reject)
 
-    odom = state.keyframe_pose @ trans
+    odom = se3.compose(state.keyframe_pose, trans)
 
     # keyframe switch (:244-252)
     d_trans = jnp.linalg.norm(trans[:3, 3])
@@ -175,7 +175,7 @@ def device_step_impl(
     # frame-to-frame motion of this frame (for the constant-velocity warm
     # start); keep the previous estimate when the frame was rejected so the
     # prediction coasts through a dropped frame
-    frame_delta = se3.inverse(state.prev_trans) @ trans
+    frame_delta = se3.compose(se3.inverse(state.prev_trans), trans)
     new_state = OdomState(
         tgt=new_tgt,
         keyframe_pose=jnp.where(switch, odom, state.keyframe_pose),
@@ -195,7 +195,7 @@ def device_step_impl(
         # ScanMatchingStatus.prediction_errors[0] semantics
         # (scan_matching_odometry_nodelet.cpp:330-332): T_final^-1 * msf_delta,
         # computed on device so reading it never forces an extra sync.
-        prediction_error=se3.inverse(res.transformation) @ msf_delta,
+        prediction_error=se3.compose(se3.inverse(res.transformation), msf_delta),
     )
     return new_state, odom, status
 

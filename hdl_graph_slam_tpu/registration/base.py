@@ -122,7 +122,7 @@ def lm_loop(
 
         d = -solve_spd(H + s.lam * eye6, b)
         delta = se3.se3_exp(d)
-        T_new = delta @ s.T
+        T_new = se3.compose(delta, s.T)
         cost_new = cost_at(T_new, corr)
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
         denom = jnp.dot(d, s.lam * d - b)

@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import se3
 from ..core.cloud import PointCloud
 from ..ops import knn
 from .base import AlignResult, se3_delta_converged
@@ -111,7 +112,7 @@ def align(
             valid = valid & (back_idx[idx] == jnp.arange(src.xyz.shape[0]))
         w = valid.astype(dtype)
         delta = _svd_rigid(moved, tgt.xyz[idx], w)  # the incremental transform
-        T_new = delta @ s.T
+        T_new = se3.compose(delta, s.T)
         err = jnp.sum(jnp.where(valid, d2, 0.0)) / jnp.clip(jnp.sum(w), 1.0, None)
         conv = se3_delta_converged(delta, transformation_epsilon)
         ninl = jnp.sum(valid.astype(jnp.int32)).astype(jnp.int32)

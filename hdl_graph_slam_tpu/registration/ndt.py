@@ -386,20 +386,20 @@ def align(
         if line_search_fixed_cells:
             # trials reuse the association gathered for the derivatives
             def trial(alpha):
-                T = se3.se3_exp(alpha * ddir) @ s.T
+                T = se3.compose(se3.se3_exp(alpha * ddir), s.T)
                 moved = se3.transform_points(T, src_xyz)
                 return _score(tgt, moved, src_mask, means, icovs, found)
 
             trial_scores = jax.vmap(trial)(alphas)
             best = jnp.argmin(trial_scores)
-            T_best = se3.se3_exp(alphas[best] * ddir) @ s.T
+            T_best = se3.compose(se3.se3_exp(alphas[best] * ddir), s.T)
             # accept compares against score0 — the score at s.T under the
             # SAME association the trials used (consistent comparison)
             best_score = trial_scores[best]
             current_score = score0
         else:
             def trial(alpha):
-                T = se3.se3_exp(alpha * ddir) @ s.T
+                T = se3.compose(se3.se3_exp(alpha * ddir), s.T)
                 moved = se3.transform_points(T, src_xyz)
                 i2, f2 = gather(moved, src_mask)
                 m2, c2 = _gather_mean_icov(tgt, i2)
@@ -407,7 +407,7 @@ def align(
 
             trial_scores = jax.vmap(trial)(alphas)
             best = jnp.argmin(trial_scores)
-            T_best = se3.se3_exp(alphas[best] * ddir) @ s.T
+            T_best = se3.compose(se3.se3_exp(alphas[best] * ddir), s.T)
             best_score = trial_scores[best]
             current_score = s.score
 

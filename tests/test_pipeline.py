@@ -664,3 +664,31 @@ class TestImuPreset:
             pipe.process_frame(float(i), scan_at(world, p, seed=i, n_keep=2500))
         pipe.finish()
         assert len(pipe.odometry_trajectory) == 3
+
+
+def test_add_frame_projects_rotation_onto_so3():
+    """A non-orthogonal odometry rotation (e.g. produced upstream by
+    low-precision matmuls) must be polar-projected before it becomes a
+    graph measurement: SE(3) residuals on det!=1 rotations report phantom
+    chi2 and the optimizer bends the trajectory to 'fix' it (round-4
+    post-mortem in PERF.md)."""
+    import numpy as np
+
+    from hdl_graph_slam_tpu.backend import HdlGraphSlam
+    from hdl_graph_slam_tpu.core import cloud as cloudlib
+    from hdl_graph_slam_tpu.core.config import SlamConfig
+
+    slam = HdlGraphSlam(SlamConfig())
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+    odom = np.eye(4)
+    th = np.radians(3.0)
+    c, s = np.cos(th), np.sin(th)
+    odom[:3, :3] = 1.05 * np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])  # det 1.16
+    assert slam.add_frame(0.0, odom, cloudlib.from_numpy(pts, capacity=256))
+    kf = slam.keyframe_queue[-1]
+    R = kf.odom[:3, :3]
+    assert abs(np.linalg.det(R) - 1.0) < 1e-9
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+    # the projection of a scaled rotation is the rotation itself
+    np.testing.assert_allclose(R, odom[:3, :3] / 1.05, atol=1e-9)

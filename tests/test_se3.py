@@ -1,4 +1,5 @@
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -130,3 +131,52 @@ def test_jit_and_vmap():
     assert T.shape == (8, 4, 4)
     back = jax.jit(jax.vmap(se3.se3_log))(T)
     np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-6)
+
+
+def test_matmul_precision_default_is_highest():
+    """The package import must pin jax_default_matmul_precision='highest'
+    unless the user set one: at the TPU MXU's bf16 DEFAULT a single 4x4
+    pose product perturbs det(R) to 1.0055 and the odometry rotation chain
+    silently leaves SO(3) (round-4 post-mortem, PERF.md). A fresh
+    subprocess checks the import-time behavior without this process's
+    already-configured state."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys; sys.path.insert(0, os.getcwd());"
+        "import jax;"
+        "assert jax.config.jax_default_matmul_precision is None;"
+        "import hdl_graph_slam_tpu;"
+        "assert jax.config.jax_default_matmul_precision == 'high';"
+        # an explicit user setting must be respected
+        "jax.config.update('jax_default_matmul_precision', 'high');"
+        "import importlib; importlib.reload(hdl_graph_slam_tpu);"
+        "assert jax.config.jax_default_matmul_precision == 'high';"
+        "print('ok')"
+    )
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
+def test_compose_and_transform_points_pin_highest_precision():
+    """se3.compose/transform_points must stay exact even if the global flag
+    is lowered (library users may run with fast matmuls for their own code)."""
+    import jax
+
+    th = 0.0524  # ~3 deg: cos rounds by 2^-8 in bf16
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    with jax.default_matmul_precision("bfloat16"):
+        out = np.asarray(se3.compose(jnp.asarray(T), jnp.asarray(T)))
+        moved = np.asarray(se3.transform_points(jnp.asarray(T), jnp.asarray([[50.0, 0.0, 0.0]], np.float32)))
+    ref = T.astype(np.float64) @ T.astype(np.float64)
+    assert np.abs(out - ref).max() < 1e-6
+    assert abs(np.linalg.det(out[:3, :3]) - 1.0) < 1e-6
+    ref_mv = np.array([[50.0, 0.0, 0.0]]) @ R.astype(np.float64).T
+    assert np.abs(moved - ref_mv).max() < 1e-5
