@@ -174,6 +174,17 @@ def main() -> None:
         conv_frac = float(np.mean(conv))
         assert conv_frac > 0.9, f"only {conv_frac:.0%} of frames converged"
 
+        # rotation integrity (round-5, VERDICT r4): the <3% drift gate can't
+        # catch rotation-chain corruption (round 1-3's bf16 det(R) up to 1.4
+        # sailed through on straight courses). Every reported pose must still
+        # be a rotation: |det(R)-1| and ||R R^T - I|| at f32 tightness. A
+        # deliberately-degraded run (pose products at bf16) fails these.
+        Rs = odoms[:, :3, :3]
+        det_err = np.abs(np.linalg.det(Rs) - 1.0).max()
+        orth_err = np.abs(Rs @ np.swapaxes(Rs, 1, 2) - np.eye(3)).max()
+        assert det_err < 1e-4, f"det(R) drift {det_err:.2e}: pose chain left SO(3)"
+        assert orth_err < 1e-4, f"orthogonality error {orth_err:.2e}"
+
     fps_samples.sort()
     fps = fps_samples[len(fps_samples) // 2]  # median of 3
 

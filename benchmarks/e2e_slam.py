@@ -76,13 +76,14 @@ def main():
 
     rng = np.random.default_rng(0)
     frames = []
-    truth = []
+    truth = []  # (stamp, sensor pose) — associated to estimates BY VALUE
     for i, pose in enumerate(poses):
         sensor = pose.copy()
         sensor[2, 3] += 1.8
-        truth.append(sensor)
+        truth.append((0.1 * i, sensor))
         scan = scan_at(world, pose, seed=i, n_keep=3000)
         frames.append(scan + rng.normal(0, 0.01, scan.shape).astype(np.float32))
+    truth_stamps = np.array([s for s, _ in truth])
 
     # warm pass over the FULL course: the graph grows through the same
     # pose/edge capacity buckets (graph/types.py quantums), so every program
@@ -105,11 +106,15 @@ def main():
     dt = time.perf_counter() - t0
 
     def ate_of(slam):
+        # nearest-stamp association (round-5, VERDICT r4 weak #6): indexing
+        # truth by int(round(stamp*10)) hard-wired the 0.1 s cadence — a
+        # silent mis-association if the cadence changes again
         est = slam.trajectory()
         errs = []
         for stamp, T in est:
-            Tt = truth[int(round(stamp * 10.0))]
-            errs.append(np.linalg.norm(np.asarray(T)[:3, 3] - Tt[:3, 3]))
+            j = int(np.argmin(np.abs(truth_stamps - stamp)))
+            assert abs(truth_stamps[j] - stamp) < 1e-6, (stamp, truth_stamps[j])
+            errs.append(np.linalg.norm(np.asarray(T)[:3, 3] - truth[j][1][:3, 3]))
         return len(est), (float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan"))
 
     n_kf, ate = ate_of(pipe.slam)

@@ -77,6 +77,12 @@ def main():
         conv = float(np.mean(np.asarray(status["converged"])))
         dt = time.perf_counter() - t0
         final_x = float(odoms[-1][0, 3])
+        # rotation integrity (round-5, same guard as bench.py): the drift
+        # gate can't see a rotation chain leaving SO(3)
+        Rs = odoms[:, :3, :3]
+        det_err = float(np.abs(np.linalg.det(Rs) - 1.0).max())
+        orth_err = float(np.abs(Rs @ np.swapaxes(Rs, 1, 2) - np.eye(3)).max())
+        assert det_err < 1e-4 and orth_err < 1e-4, (name, det_err, orth_err)
         print(json.dumps({
             "metric": f"windowed_odometry_{name.lower()}_fps",
             "value": round(n_frames / dt, 1),

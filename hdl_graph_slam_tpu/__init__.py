@@ -24,10 +24,20 @@ __version__ = "0.1.0"
 #   true f32 = 0.9993 (near-ties only) — exactness-per-cost for the bulk
 #   distance/covariance matmuls that dominate the frame (global HIGHEST
 #   measured 235 fps on bench.py vs ~400 at HIGH);
-# - pose-manifold ops (se3.compose / transform_points / se3_oplus and the
-#   odometry/LM composition sites) pin precision=HIGHEST regardless of the
-#   global flag: HIGH still drifts det(R) by 2.4e-5 per product, and pose
-#   chains compose hundreds of products;
+# - pose-manifold ops pin precision=HIGHEST regardless of the global flag:
+#   HIGH still drifts det(R) by 2.4e-5 per product, and pose chains compose
+#   hundreds of products. Every jit-traced pose product goes through
+#   se3.compose / se3.transform_points / se3.se3_oplus — the LM/odometry
+#   update (registration/base.py lm_loop), the graph residual chain
+#   (graph/edges.py se3_se3) and the submap base-increment chains
+#   (parallel/partition.py). Bulk POINT transforms inside registration
+#   residuals/association (`src.xyz @ R.T` in gicp/vgicp/icp/knn) stay at
+#   the global HIGH deliberately: they are leaf products (no compounding —
+#   each LM iteration recomputes them from the f32 pose), their ~2e-5
+#   relative error is ~1 mm at 50 m range (two orders below the sensor
+#   noise the information matrices model), and they sit on the hot
+#   8192-point paths where HIGHEST costs a measurable fraction of the
+#   frame;
 # - the backend additionally polar-projects incoming odometry onto SO(3)
 #   (backend/slam.py add_frame) so graph measurements stay orthogonal no
 #   matter what produced them.

@@ -13,9 +13,14 @@ signed distance used in minimal coordinates is -d.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+
+# Rotation-times-normal products are pose-manifold ops: pinned HIGHEST like
+# core/se3.py (precision policy, package __init__ docstring).
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def normalize(coeffs):
@@ -64,7 +69,7 @@ def ominus(coeffs_self, coeffs_other):
     returns [azimuth(n), elevation(n), self.distance - other.distance].
     """
     R = jnp.swapaxes(rotation_of_normal(normal(coeffs_self)), -1, -2)
-    n = jnp.einsum("...ij,...j->...i", R, normal(coeffs_other))
+    n = jnp.einsum("...ij,...j->...i", R, normal(coeffs_other), precision=_HIGHEST)
     d = distance(coeffs_self) - distance(coeffs_other)
     return jnp.stack([azimuth(n), elevation(n), d], axis=-1)
 
@@ -84,7 +89,7 @@ def ominus_safe(coeffs_self, coeffs_other):
     (information-invariant) sign convention, and the zero set is identical.
     """
     R = jnp.swapaxes(rotation_of_normal(normal(coeffs_other)), -1, -2)
-    u = jnp.einsum("...ij,...j->...i", R, normal(coeffs_self))
+    u = jnp.einsum("...ij,...j->...i", R, normal(coeffs_self), precision=_HIGHEST)
     d = distance(coeffs_self) - distance(coeffs_other)
     return jnp.stack([-azimuth(u), -elevation_from_x(u), d], axis=-1)
 
@@ -106,7 +111,7 @@ def oplus(coeffs, v):
     ce, se = jnp.cos(el), jnp.sin(el)
     n_local = jnp.stack([ce * jnp.cos(az), ce * jnp.sin(az), se], axis=-1)
     R = rotation_of_normal(normal(coeffs))
-    n_new = jnp.einsum("...ij,...j->...i", R, n_local)
+    n_new = jnp.einsum("...ij,...j->...i", R, n_local, precision=_HIGHEST)
     d_new = distance(coeffs) + v[..., 2]
     out = jnp.concatenate([n_new, -d_new[..., None]], axis=-1)
     return normalize(out)
@@ -119,6 +124,6 @@ def transform(T, coeffs):
     """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    n2 = jnp.einsum("...ij,...j->...i", R, coeffs[..., :3])
-    c2 = coeffs[..., 3] - jnp.einsum("...i,...i->...", t, n2)
+    n2 = jnp.einsum("...ij,...j->...i", R, coeffs[..., :3], precision=_HIGHEST)
+    c2 = coeffs[..., 3] - jnp.einsum("...i,...i->...", t, n2, precision=_HIGHEST)
     return normalize(jnp.concatenate([n2, c2[..., None]], axis=-1))

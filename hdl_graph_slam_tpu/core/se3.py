@@ -21,6 +21,15 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# Every matmul/einsum in this module is pinned to HIGHEST precision: these
+# are pose-manifold products (precision policy, package __init__ docstring)
+# and must stay true f32 even under a user-lowered global matmul precision.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HIGHEST)
+
 
 def identity(dtype=jnp.float32):
     return jnp.eye(4, dtype=dtype)
@@ -50,7 +59,7 @@ def inverse(T):
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    ti = -jnp.einsum("...ij,...j->...i", Rt, t)
+    ti = -jnp.einsum("...ij,...j->...i", Rt, t, precision=_HIGHEST)
     out = jnp.zeros_like(T)
     out = out.at[..., :3, :3].set(Rt)
     out = out.at[..., :3, 3].set(ti)
@@ -106,7 +115,7 @@ def so3_exp(w):
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + A[..., None, None] * W + B[..., None, None] * (W @ W)
+    return eye + A[..., None, None] * W + B[..., None, None] * _mm(W, W)
 
 
 def so3_log(R):
@@ -169,9 +178,9 @@ def se3_exp(xi):
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2_safe)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    R = eye + A[..., None, None] * W + B[..., None, None] * (W @ W)
-    V = eye + B[..., None, None] * W + C[..., None, None] * (W @ W)
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    R = eye + A[..., None, None] * W + B[..., None, None] * _mm(W, W)
+    V = eye + B[..., None, None] * W + C[..., None, None] * _mm(W, W)
+    t = jnp.einsum("...ij,...j->...i", V, v, precision=_HIGHEST)
     out = jnp.zeros(xi.shape[:-1] + (4, 4), dtype=xi.dtype)
     out = out.at[..., :3, :3].set(R)
     out = out.at[..., :3, 3].set(t)
@@ -194,8 +203,8 @@ def se3_log(T):
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - A / (2.0 * B)) / theta2_safe)
-    Vinv = eye - 0.5 * W + coef[..., None, None] * (W @ W)
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    Vinv = eye - 0.5 * W + coef[..., None, None] * _mm(W, W)
+    v = jnp.einsum("...ij,...j->...i", Vinv, t, precision=_HIGHEST)
     return jnp.concatenate([v, w], axis=-1)
 
 

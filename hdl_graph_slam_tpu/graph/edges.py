@@ -12,6 +12,7 @@ Vertex conventions:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import plane as planelib
@@ -22,8 +23,15 @@ def se3_se3(T1, T2, meas):
     """g2o stock EdgeSE3 (types/slam3d/edge_se3.cpp): error =
     toVectorMQT(meas^-1 * T1^-1 * T2). Wired by add_se3_edge with
     meas = curr.odom^-1 * prev.odom, vertices (curr, prev)
-    (apps/hdl_graph_slam_nodelet.cpp:234-236, 568-570)."""
-    delta = se3.inverse(meas) @ se3.inverse(T1) @ T2
+    (apps/hdl_graph_slam_nodelet.cpp:234-236, 568-570).
+
+    The residual chain composes at HIGHEST precision (se3.compose): this is
+    the exact phantom-chi2 site of the round-4 bf16 post-mortem — a bf16
+    product inside the residual would reintroduce the failure mode even
+    with orthogonal inputs (rotation rows carry ~25x the translation
+    information weight), and the SO(3) ingest projection only guards the
+    measurements, not the product."""
+    delta = se3.compose(se3.inverse(meas), se3.compose(se3.inverse(T1), T2))
     return se3.mqt_log(delta)
 
 
@@ -56,7 +64,7 @@ def se3_prior_vec(T, meas6):
     (hdl_graph_slam_nodelet.cpp:441)."""
     direction = meas6[:3]
     measurement = meas6[3:]
-    est = T[:3, :3].T @ direction
+    est = jnp.matmul(T[:3, :3].T, direction, precision=jax.lax.Precision.HIGHEST)
     return est - measurement
 
 
@@ -115,5 +123,5 @@ def se3_point_xyz(T, point, meas3):
     the sensor-offset parameter, which the reference never sets — graph_slam
     add_se3_point_xyz_edge uses offset id 0 = identity): error =
     T^-1 * point - meas."""
-    local = T[:3, :3].T @ (point - T[:3, 3])
+    local = jnp.matmul(T[:3, :3].T, point - T[:3, 3], precision=jax.lax.Precision.HIGHEST)
     return local - meas3

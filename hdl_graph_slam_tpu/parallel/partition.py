@@ -248,7 +248,9 @@ def _condense_priors(
 
         def one(Bb, L, m, ex):
             def rf(xi):
-                return rfn(Bb @ se3.mqt_exp(xi) @ L, m, ex)
+                # pose chain pinned at HIGHEST via se3.compose (precision
+                # policy, package __init__): this runs under jit on TPU
+                return rfn(se3.compose(se3.compose(Bb, se3.mqt_exp(xi)), L), m, ex)
 
             z = jnp.zeros(6, dtype)
             return rf(z), jax.jacfwd(rf)(z)
@@ -383,7 +385,7 @@ def hierarchical_optimize(
                     # edge info reproducing (H_b, b_b) through the edge's own
                     # Jacobian: J^T W J = H_b requires W = J^-T H_b J^-1
                     def efn(xi, Bh=jnp.asarray(Bhat, dtype), m=jnp.asarray(meas, dtype)):
-                        return E.se3_se3(Bh @ se3lib.mqt_exp(xi), jnp.eye(4, dtype=dtype), m)
+                        return E.se3_se3(se3lib.compose(Bh, se3lib.mqt_exp(xi)), jnp.eye(4, dtype=dtype), m)
 
                     J = np.asarray(jax.jacfwd(efn)(jnp.zeros(6, dtype)))
                     Ji = np.linalg.inv(J)

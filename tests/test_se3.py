@@ -133,13 +133,13 @@ def test_jit_and_vmap():
     np.testing.assert_allclose(np.asarray(back), np.asarray(xi), atol=1e-6)
 
 
-def test_matmul_precision_default_is_highest():
-    """The package import must pin jax_default_matmul_precision='highest'
+def test_matmul_precision_default_is_high():
+    """The package import must set jax_default_matmul_precision='high'
     unless the user set one: at the TPU MXU's bf16 DEFAULT a single 4x4
     pose product perturbs det(R) to 1.0055 and the odometry rotation chain
-    silently leaves SO(3) (round-4 post-mortem, PERF.md). A fresh
-    subprocess checks the import-time behavior without this process's
-    already-configured state."""
+    silently leaves SO(3) (round-4 post-mortem, PERF.md; pose ops pin
+    HIGHEST separately). A fresh subprocess checks the import-time behavior
+    without this process's already-configured state."""
     import subprocess
     import sys
 
@@ -149,10 +149,11 @@ def test_matmul_precision_default_is_highest():
         "assert jax.config.jax_default_matmul_precision is None;"
         "import hdl_graph_slam_tpu;"
         "assert jax.config.jax_default_matmul_precision == 'high';"
-        # an explicit user setting must be respected
-        "jax.config.update('jax_default_matmul_precision', 'high');"
+        # an explicit user setting must be respected — use a value DISTINCT
+        # from the package default so an unconditional overwrite would fail
+        "jax.config.update('jax_default_matmul_precision', 'bfloat16');"
         "import importlib; importlib.reload(hdl_graph_slam_tpu);"
-        "assert jax.config.jax_default_matmul_precision == 'high';"
+        "assert jax.config.jax_default_matmul_precision == 'bfloat16';"
         "print('ok')"
     )
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
@@ -180,3 +181,44 @@ def test_compose_and_transform_points_pin_highest_precision():
     assert abs(np.linalg.det(out[:3, :3]) - 1.0) < 1e-6
     ref_mv = np.array([[50.0, 0.0, 0.0]]) @ R.astype(np.float64).T
     assert np.abs(moved - ref_mv).max() < 1e-5
+
+
+def test_pose_ops_pin_highest_structurally():
+    """CPU executes every precision identically, so the numeric test above
+    can't catch a lost precision= pin. Assert the pin STRUCTURALLY: under a
+    bfloat16 global default, the traced jaxprs of se3.compose /
+    transform_points / se3_oplus and of the graph se3_se3 residual must
+    carry Precision.HIGHEST on their dot_generals (ADVICE r4)."""
+    import jax
+
+    from hdl_graph_slam_tpu.graph import edges as E
+
+    def dot_precisions(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        out = []
+
+        def walk(jp):
+            for eqn in jp.eqns:
+                if eqn.primitive.name == "dot_general":
+                    out.append(eqn.params.get("precision"))
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):
+                        walk(v.jaxpr)
+
+        walk(jaxpr.jaxpr)
+        return out
+
+    T = jnp.eye(4, dtype=jnp.float32)
+    pts = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.zeros(6, jnp.float32)
+    H = jax.lax.Precision.HIGHEST
+    with jax.default_matmul_precision("bfloat16"):
+        for fn, args in [
+            (se3.compose, (T, T)),
+            (se3.transform_points, (T, pts)),
+            (se3.se3_oplus, (T, d)),
+            (E.se3_se3, (T, T, T)),
+        ]:
+            precs = dot_precisions(fn, *args)
+            assert precs, f"{fn.__name__}: no dot_general found"
+            assert all(p == (H, H) for p in precs), f"{fn.__name__}: {precs}"
