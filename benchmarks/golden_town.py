@@ -56,49 +56,116 @@ def main():
         frames.append((float(i), L.scan(town, sensor, model, seed=i), None))
     sim_dt = time.perf_counter() - t0
 
-    reg = RegistrationConfig(registration_method="FAST_GICP", reg_reassoc_displacement=0.1)
-    cfg = SlamConfig()
-    cfg.prefilter.downsample_resolution = 0.5
-    cfg.prefilter.outlier_removal_method = "NONE"
-    cfg.prefilter.distance_far_thresh = 60.0
-    cfg.odometry.registration = reg
-    cfg.odometry.keyframe_delta_trans = 4.0
-    cfg.odometry.keyframe_delta_time = 1e9
-    cfg.backend.keyframe_delta_trans = 4.0
-    cfg.backend.fix_first_node = True
-    cfg.backend.fix_first_node_stddev = "10 10 1000 1 1 1"
-    cfg.backend.g2o_solver_num_iterations = 60
-    cfg.backend.graph_update_interval = 10.0
-    # loop gates: the reference's own outdoor tuning
-    # (launch/hdl_graph_slam_400.launch:105-108 — distance_thresh 15, accum 25,
-    # min_edge_interval 15, fitness 2.5; hdl_graph_slam.launch goes to 20 m).
-    # The first golden_town run used distance_thresh=8.0 and detected ZERO
-    # loops over two laps: odometry drift at the lap-2 revisit exceeds 8 m of
-    # estimated separation, so every candidate was gated out before matching.
-    # The estimated-distance gate must be sized ABOVE the expected drift —
-    # exactly why the reference ships 15-20 m for outdoor courses.
-    cfg.loop.registration = reg
-    cfg.loop.distance_thresh = 15.0
-    cfg.loop.accum_distance_thresh = 25.0
-    cfg.loop.min_edge_interval = 15.0
-    cfg.loop.fitness_score_thresh = 2.5
-    cfg.floor.enabled = False
+    import sys
 
-    def run_once():
+    modes = ["base"]
+    for a in sys.argv[1:]:
+        if a.startswith("--modes="):
+            modes = a.split("=", 1)[1].split(",")
+
+    def make_cfg(mode: str) -> SlamConfig:
+        reg = RegistrationConfig(registration_method="FAST_GICP", reg_reassoc_displacement=0.1)
+        cfg = SlamConfig()
+        cfg.prefilter.downsample_resolution = 0.5
+        cfg.prefilter.outlier_removal_method = "NONE"
+        cfg.prefilter.distance_far_thresh = 60.0
+        cfg.odometry.registration = reg
+        cfg.odometry.keyframe_delta_trans = 4.0
+        cfg.odometry.keyframe_delta_time = 1e9
+        cfg.backend.keyframe_delta_trans = 4.0
+        cfg.backend.fix_first_node = True
+        cfg.backend.fix_first_node_stddev = "10 10 1000 1 1 1"
+        cfg.backend.g2o_solver_num_iterations = 60
+        cfg.backend.graph_update_interval = 10.0
+        # loop gates: the reference's own outdoor tuning
+        # (launch/hdl_graph_slam_400.launch:105-108 — distance_thresh 15, accum 25,
+        # min_edge_interval 15, fitness 2.5; hdl_graph_slam.launch goes to 20 m).
+        # The first golden_town run used distance_thresh=8.0 and detected ZERO
+        # loops over two laps: odometry drift at the lap-2 revisit exceeds 8 m of
+        # estimated separation, so every candidate was gated out before matching.
+        # The estimated-distance gate must be sized ABOVE the expected drift —
+        # exactly why the reference ships 15-20 m for outdoor courses.
+        cfg.loop.registration = reg
+        cfg.loop.distance_thresh = 15.0
+        cfg.loop.accum_distance_thresh = 25.0
+        cfg.loop.min_edge_interval = 15.0
+        cfg.loop.fitness_score_thresh = 2.5
+        cfg.floor.enabled = False
+        if mode == "floor":
+            # BASELINE config #2 analog: floor-plane constraint active
+            # (launch default floor_edge_stddev 10.0); the town ground is a
+            # real z=0 plane with buildings above it
+            cfg.floor.enabled = True
+            cfg.floor.sensor_height = 1.8
+            cfg.floor.height_clip_range = 1.0
+            cfg.floor.floor_pts_thresh = 256
+        elif mode == "gps":
+            # BASELINE config #4 analog: GPS position priors at ~1.5 m noise,
+            # stddev matched (outdoor preset gps_edge_stddev_xy=20 is for
+            # consumer fixes; this survey-ish course uses 2 m)
+            cfg.backend.enable_gps = True
+            cfg.backend.gps_edge_stddev_xy = 2.0
+            cfg.backend.gps_edge_stddev_z = 5.0
+        return cfg
+
+    # GPS fixes: invert the UTM projection's local Jacobian so easting/
+    # northing land exactly at truth xy + noise (same technique as
+    # tests/test_golden.py::test_golden_gps_imu_course)
+    from hdl_graph_slam_tpu.io.geodesy import wgs84_to_utm
+
+    lat0, lon0 = 35.0, 139.0
+    e0, n0_, _ = wgs84_to_utm(lat0, lon0)
+    h = 1e-6
+    e_lat, n_lat, _ = wgs84_to_utm(lat0 + h, lon0)
+    e_lon, n_lon, _ = wgs84_to_utm(lat0, lon0 + h)
+    J = np.array([[(e_lat - e0) / h, (e_lon - e0) / h], [(n_lat - n0_) / h, (n_lon - n0_) / h]])
+    Jinv = np.linalg.inv(J)
+    gps_rng = np.random.default_rng(7)
+    gps_noise = gps_rng.normal(0.0, 1.5, (len(frames), 2))
+    # first fix noiseless: it becomes the zero_utm datum, and the unaligned
+    # ATE below anchors truth at truth[0] — noise there would add a constant
+    # offset to every error term
+    gps_noise[0] = 0.0
+
+    def run_once(cfg, with_gps: bool):
         pipe = SlamPipeline(cfg, cloud_capacity=4096)
+
+        def feed():
+            for i, item in enumerate(frames):
+                if with_gps:
+                    dlat, dlon = Jinv @ (truth[i][1][:2, 3] + gps_noise[i])
+                    pipe.add_gps(item[0], lat0 + dlat, lon0 + dlon, alt=10.0)
+                yield item
+
         t0 = time.perf_counter()
         # raw_capacity must hold the full 32x512-beam scans (10-12k pts):
         # the default (2*cloud_capacity = 8192) would subsample them, and
         # before the r4 strided-subsample fix it TRUNCATED them ring-major,
         # leaving ~99% ground points and no horizontal constraint at all
         # (the round-3 ATE=23.8 m "never executed" result).
-        pipe.run_windowed(list(frames), window=16, raw_capacity=16384)
+        pipe.run_windowed(feed(), window=16, raw_capacity=16384)
         dt = time.perf_counter() - t0
         return pipe, dt
 
+    for mode in modes:
+        report_mode(mode, make_cfg(mode), run_once, frames, truth, poses, sim_dt)
+
+
+def report_mode(mode, cfg, run_once, frames, truth, poses, sim_dt):
+    from hdl_graph_slam_tpu.io import trajectory as traj_io
+
+    with_gps = mode == "gps"
     # warm pass compiles every program (graph capacity buckets included)
-    _, cold_dt = run_once()
-    pipe, dt = run_once()
+    _, cold_dt = run_once(cfg, with_gps)
+    pipe, dt = run_once(cfg, with_gps)
+
+    # rotation integrity (round-5): THIS course has in-place corner turns —
+    # exactly where the bf16 MXU default inflated det(R) to 1.1-1.4 through
+    # rounds 1-3 (PERF.md round-4 post-mortem). Guard every odometry pose.
+    Rs = np.stack([np.asarray(T)[:3, :3] for _, T in pipe.odometry_trajectory])
+    det_err = float(np.abs(np.linalg.det(Rs) - 1.0).max())
+    orth_err = float(np.abs(Rs @ np.swapaxes(Rs, 1, 2) - np.eye(3)).max())
+    assert det_err < 1e-4 and orth_err < 1e-4, (det_err, orth_err)
 
     est = pipe.slam.trajectory()
     kf_stamps = {s for s, _ in est}
@@ -112,10 +179,12 @@ def main():
     length = sum(
         float(np.linalg.norm(poses[i + 1][:3, 3] - poses[i][:3, 3])) for i in range(len(poses) - 1)
     )
-    print(json.dumps({
-        "metric": "golden_town_ate_rmse",
+    suffix = "" if mode == "base" else f"_{mode}"
+    out = {
+        "metric": f"golden_town_ate_rmse{suffix}",
         "value": round(float(ate_opt), 4),
-        "unit": "m ATE RMSE (optimized, Umeyama-aligned), 2-lap occluded town course",
+        "unit": "m ATE RMSE (optimized, Umeyama-aligned), 2-lap occluded town course"
+        + {"base": "", "floor": " + floor-plane edges", "gps": " + GPS priors (1.5 m noise)"}[mode],
         "ate_odom_m": round(float(ate_odom), 4),
         "frames": len(frames),
         "course_length_m": round(length, 1),
@@ -125,7 +194,24 @@ def main():
         "cold_wall_s": round(cold_dt, 1),
         "sim_wall_s": round(sim_dt, 1),
         "vs_baseline": None,
-    }), flush=True)
+    }
+    if mode == "floor":
+        out["floor_edges"] = len(pipe.slam.graph.edge_rows["se3_plane"])
+    if mode == "gps":
+        out["gps_edges"] = len(pipe.slam.graph.edge_rows["se3_prior_xy"]) + len(
+            pipe.slam.graph.edge_rows["se3_prior_xyz"])
+        # GPS pins the absolute frame: also report the unaligned ATE in the
+        # first-fix-anchored frame (Umeyama would absorb the very offset GPS
+        # is supposed to fix)
+        datum = truth[0][1][:3, 3]
+        truth_anchored = []
+        for s, T in truth:
+            Ta = T.copy()
+            Ta[:3, 3] = Ta[:3, 3] - datum
+            truth_anchored.append((s, Ta))
+        out["ate_unaligned_m"] = round(float(traj_io.ate_rmse(
+            pipe.slam.trajectory(), truth_anchored, align=False)), 4)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

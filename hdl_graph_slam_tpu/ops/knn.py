@@ -25,6 +25,21 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# Distance-matmul precision (round-5, see the package __init__ policy):
+# - nn1/knn SELECT behavior (correspondences, fitness) — pinned HIGH
+#   (bf16_3x): argmin agreement vs true f32 is 0.9993 (near-ties only,
+#   rel err ~2e-5 — an equidistant swap is invisible to the LM cost),
+#   while the MXU's bf16 DEFAULT mis-selects ~24% of 1-NNs (round-4
+#   post-mortem). Pinning keeps the exactness contract even if a user
+#   lowers the global flag.
+# - knn_approx is a ~0.85-recall partial reduction ALREADY — its selection
+#   matmul runs at DEFAULT (one bf16 pass instead of HIGH's three): the
+#   r3 probe measured identical covariance-kNN recall for bf16 vs f32
+#   selection, and the exact-distance epilogues recompute true f32
+#   distances from gathered rows regardless.
+_SEL_HIGH = jax.lax.Precision.HIGH
+_SEL_FAST = jax.lax.Precision.DEFAULT
+
 
 def _pad_rows(x, multiple, fill):
     n = x.shape[0]
@@ -60,7 +75,7 @@ def nn1(query: jax.Array, target: jax.Array, chunk: int = 512) -> Tuple[jax.Arra
         # min/argmin reduce beats top_k by a wide margin on TPU. The argmin
         # is spelled as min + int32-iota select so the index stays int32
         # even under x64 (jnp.argmin would emit emulated-int64 indices).
-        d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
+        d = -2.0 * jnp.matmul(qcc, tc.T, precision=_SEL_HIGH) + t_norm2[None, :]
         dmin = jnp.min(d, axis=-1, keepdims=True)
         cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
         idx = jnp.min(jnp.where(d <= dmin, cols, jnp.int32(2**30)), axis=-1)
@@ -93,7 +108,7 @@ def knn(query: jax.Array, target: jax.Array, k: int, chunk: int = 256) -> Tuple[
 
     def one_chunk(qc):
         qcc = qc - center
-        d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
+        d = -2.0 * jnp.matmul(qcc, tc.T, precision=_SEL_HIGH) + t_norm2[None, :]
         neg_d, cand = jax.lax.top_k(-d, k)  # (chunk, k)
         diff = qc[:, None, :] - target[cand]
         d_exact = jnp.sum(diff * diff, axis=-1)
@@ -140,7 +155,7 @@ def knn_approx(
 
     def one_chunk(qc):
         qcc = qc - center
-        d = -2.0 * (qcc @ tc.T) + t_norm2[None, :]
+        d = -2.0 * jnp.matmul(qcc, tc.T, precision=_SEL_FAST) + t_norm2[None, :]
         dk, cand = jax.lax.approx_min_k(d, k, recall_target=recall_target)
         if not exact_dists:
             # recover approximate squared distance: d lacks the |q|^2 term
