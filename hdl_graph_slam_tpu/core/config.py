@@ -78,10 +78,14 @@ class OdometryConfig:
     enable_robot_odometry_init_guess: bool = False
     # constant-velocity warm start (opt-in; no reference analog — the
     # reference's zero-velocity guess is the default): seed each align with
-    # prev_trans @ prev_frame_delta instead of prev_trans. Cuts Newton/LM
-    # iterations for slow-converging methods (NDT) at sensor rates where
-    # motion is smooth. Do not combine with an external msf/robot-odometry
-    # guess (both would be applied).
+    # prev_trans translated by the previous frame delta's TRANSLATION
+    # (sanity-capped at 2 m/frame). Rotation is deliberately NOT
+    # extrapolated: on attitude-jittered platforms it feeds each frame's
+    # jitter forward into the next guess, which walked NDT out of its basin
+    # and (uncapped) ran away geometrically — PERF.md round 5. Cuts
+    # Newton/LM iterations for slow-converging methods where motion is
+    # smooth. Do not combine with an external msf/robot-odometry guess
+    # (both would be applied).
     constant_velocity_guess: bool = False
     registration: RegistrationConfig = field(default_factory=RegistrationConfig)
 

@@ -324,3 +324,19 @@ def se3_oplus(T, delta):
     """g2o VertexSE3 oplus: right-multiply by the MQT increment
     (HIGHEST-precision product — pose updates must stay on SE(3))."""
     return compose(T, mqt_exp(delta))
+
+
+def project_so3(T, steps: int = 1):
+    """Pull the rotation block of an SE(3) matrix back onto SO(3) with
+    Newton-Schulz polar iterations: R <- R(1.5 I - 0.5 R^T R). Quadratic
+    near orthogonality (one step: 1e-3 error -> ~1e-6; the f32 fixed point
+    is ~1e-7). Used by the device odometry step so per-frame rotation error
+    (e.g. ICP's f32 Procrustes, ~5e-7/frame) cannot ACCUMULATE linearly
+    along a multi-hundred-frame pose chain — same defense-in-depth as the
+    backend's SVD polar projection at graph ingest (backend/slam.py)."""
+    R = T[..., :3, :3]
+    eye = jnp.eye(3, dtype=T.dtype)
+    for _ in range(steps):
+        RtR = _mm(jnp.swapaxes(R, -1, -2), R)
+        R = _mm(R, 1.5 * eye - 0.5 * RtR)
+    return T.at[..., :3, :3].set(R)

@@ -95,10 +95,25 @@ def plane_regularize(covs: jax.Array, eps: float = 1e-3) -> jax.Array:
     return eye - (1.0 - eps) * v[..., :, None] * v[..., None, :]
 
 
-def floor_regularize(covs: jax.Array, rel_floor: float = 0.01) -> jax.Array:
+def floor_regularize(covs: jax.Array, rel_floor: float = 0.01, rel_guard: float = 1e-3) -> jax.Array:
     """PCL NDT cell conditioning: floor eigenvalues at rel_floor * lam_max,
     exactly and branch-free: C + sum_i max(0, floor - lam_i) v_i v_i^T.
-    Only the two smaller eigenpairs can be below the floor."""
+    Only the two smaller eigenpairs can be below the floor.
+
+    rel_guard (round-5): for a near-rank-1 cell (a ground ring-arc is a
+    LINE of points: lam_min ~ lam_mid ~ 1e-5 * lam_max with a nearly
+    degenerate null 2-space) the closed-form f32 eigenvectors are noise-
+    dominated, and the rank-2 correction along slightly-wrong directions
+    can leave a residual NEGATIVE eigenvalue (~ -3e-5 * lam_max observed on
+    TPU, whose f32 transcendentals differ a few ulp from CPU's). Inverting
+    that near-singular result amplified it to an indefinite icov with eig
+    ~ -1e5, exp(-d2/2 * q^T icov q) overflowed, and the NDT Newton loop
+    false-converged on a -inf score at iteration 1 (silently tracking
+    nothing — caught by the round-5 per-method rotation/drift guards). The
+    guard adds rel_guard * lam_max * I: 10x below the PCL floor (spectrum
+    change is semantically invisible) and ~30x above the observed f32
+    eigenvector error, so the result is PD by construction on any
+    platform."""
     lams = eigvalsh3(covs)
     lam_min, lam_mid, lam_max = lams[..., 0], lams[..., 1], lams[..., 2]
     floor = rel_floor * lam_max
@@ -109,8 +124,10 @@ def floor_regularize(covs: jax.Array, rel_floor: float = 0.01) -> jax.Array:
     v_mid = v_mid / jnp.sqrt(jnp.clip(jnp.sum(v_mid * v_mid, axis=-1, keepdims=True), _EPS, None))
     add_min = jnp.clip(floor - lam_min, 0.0, None)
     add_mid = jnp.clip(floor - lam_mid, 0.0, None)
+    eye = jnp.eye(3, dtype=covs.dtype)
     return (
         covs
         + add_min[..., None, None] * v_min[..., :, None] * v_min[..., None, :]
         + add_mid[..., None, None] * v_mid[..., :, None] * v_mid[..., None, :]
+        + (rel_guard * lam_max)[..., None, None] * eye
     )

@@ -56,6 +56,19 @@ def procrustes_rotation(S):
     lam = eigvalsh3(StS)  # ascending
     v1 = _eigvec_for(StS, lam[2])
     v3 = _eigvec_for(StS, lam[0])
+    # Robust completion (round-5): when BOTH eigenpairs hit _eigvec_for's
+    # degenerate fallback (+z) — S ~ 0 after every correspondence is lost,
+    # or a spectrum collapse — v3 == v1 and cross(v3, v1) == 0, which used
+    # to produce a SINGULAR "rotation" that silently poisoned the pose
+    # chain (caught by the r5 det/orthogonality bench guards: det err
+    # 0.065 on the ICP window). If v3 is (near-)collinear with v1, replace
+    # it with the standard basis vector least aligned with v1 before
+    # building the right-handed frame.
+    c31 = jnp.cross(v3, v1)
+    collinear = jnp.sum(c31 * c31) < 1e-12
+    basis = jnp.eye(3, dtype=dtype)
+    alt = basis[jnp.argmin(jnp.abs(v1))]
+    v3 = jnp.where(collinear, alt, v3)
     v2 = jnp.cross(v3, v1)
     v2 = v2 / jnp.clip(jnp.linalg.norm(v2), 1e-20, None)
     v3 = jnp.cross(v1, v2)  # right-handed orthonormal [v1 v2 v3]
@@ -63,11 +76,34 @@ def procrustes_rotation(S):
     u1 = u1 / jnp.clip(jnp.linalg.norm(u1), 1e-20, None)
     u2 = S @ v2
     u2 = u2 - jnp.dot(u1, u2) * u1
+    # rank-1 S: S v2 ~ 0 and Gram-Schmidt leaves nothing — complete U with
+    # the basis vector least aligned with u1 (any orthonormal completion is
+    # Umeyama-optimal for the unconstrained DOF), same robustness as v3
+    u2_n2 = jnp.sum(u2 * u2)
+    alt_u = basis[jnp.argmin(jnp.abs(u1))]
+    alt_u = alt_u - jnp.dot(u1, alt_u) * u1
+    u2 = jnp.where(u2_n2 < 1e-12, alt_u, u2)
     u2 = u2 / jnp.clip(jnp.linalg.norm(u2), 1e-20, None)
     u3 = jnp.cross(u1, u2)
     V = jnp.stack([v1, v2, v3], axis=1).astype(dtype)
     U = jnp.stack([u1, u2, u3], axis=1).astype(dtype)
-    return V @ U.T
+    R = jnp.matmul(V, U.T, precision=jax.lax.Precision.HIGHEST)
+    # u1 is undefined when S v1 ~ 0 (S ~ 0: zero inliers, or v1 in S's
+    # null space) — no rotation information at all; return identity rather
+    # than whatever frame the clipped normalizations produced
+    degenerate = jnp.sum((S @ v1) ** 2) < 1e-24
+    R = jnp.where(degenerate, jnp.eye(3, dtype=dtype), R)
+    # polar tightening (two Newton-Schulz steps): R <- R(1.5 I - 0.5 R^T R)
+    # pulls f32 rounding drift back onto SO(3) before the pose chain
+    # compounds it (quadratic: 1e-3 error -> 1e-6 -> ~f32 ulp; one step
+    # left the 256-frame windowed chain at det drift 7.7e-5, grazing the
+    # 1e-4 bench guard)
+    eye3 = jnp.eye(3, dtype=dtype)
+    for _ in range(2):
+        RtR = jnp.matmul(R.T, R, precision=jax.lax.Precision.HIGHEST)
+        R = jnp.matmul(R, 1.5 * eye3 - 0.5 * RtR,
+                       precision=jax.lax.Precision.HIGHEST)
+    return R
 
 
 def _svd_rigid(src_pts, tgt_pts, w):

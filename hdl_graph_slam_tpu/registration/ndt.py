@@ -142,6 +142,11 @@ def _score(tgt: NdtTarget, moved: jax.Array, mask: jax.Array, means, icovs, foun
     """
     q = moved[:, None, :] - means  # (N, K, 3)
     md = jnp.einsum("nki,nkij,nkj->nk", q, icovs, q)
+    # a Mahalanobis form is >= 0 for any PSD icov; clamping costs nothing
+    # and guarantees exp() cannot overflow to inf even if an icov ever goes
+    # indefinite again (see eig3.floor_regularize rel_guard) — a -inf score
+    # false-converges the Newton loop at iteration 1
+    md = jnp.maximum(md, 0.0)
     e = tgt.d1 * jnp.exp(-0.5 * tgt.d2 * md)
     w = (found & mask[:, None]).astype(moved.dtype)
     return jnp.sum(e * w)
@@ -182,7 +187,8 @@ def score_derivatives(d1, d2, moved0, mask, means, icovs, found):
     p = moved0  # (N, 3)
     q = p[:, None, :] - means  # (N, K, 3)
     a = jnp.einsum("nkij,nkj->nki", icovs, q)  # B q
-    u = jnp.einsum("nki,nki->nk", q, a)
+    # clamp the Mahalanobis form like _score does (exp-overflow belt)
+    u = jnp.maximum(jnp.einsum("nki,nki->nk", q, a), 0.0)
     wgt = (found & mask[:, None]).astype(dtype)
     E = d1 * jnp.exp(-0.5 * d2 * u) * wgt  # weighted per-term score (N, K)
 

@@ -419,7 +419,62 @@ class TestEig3:
         R = np.asarray(eig3.floor_regularize(jnp.asarray(A), rel_floor=0.01))
         lams = np.linalg.eigvalsh(R)
         assert (lams[:, 0] >= 0.01 * lams[:, 2] - 1e-7).all()
-        np.testing.assert_allclose(lams[:, 2], 4.0, rtol=1e-5)
+        # lam_max picks up the rel_guard diagonal (1e-3 relative)
+        np.testing.assert_allclose(lams[:, 2], 4.0 * 1.001, rtol=1e-5)
+
+    def test_floor_regularize_pd_guard_on_rank1_f32(self):
+        """Round-5 regression: a near-rank-1 cell (ground ring-arc = a LINE
+        of points) has a nearly degenerate null 2-space; the closed-form f32
+        eigenvectors there are noise-dominated and the rank-2 floor
+        correction alone can leave a residual NEGATIVE eigenvalue (observed
+        -3e-5*lam_max on TPU), whose inverse is indefinite (eig ~ -1e5) and
+        overflows the NDT mixture exp into -inf. The rel_guard diagonal must
+        keep the result PD BY CONSTRUCTION in f32, and the icov chain
+        (inv3x3 of guarded + 1e-6 I, as ndt.preprocess_target builds it)
+        must stay positive-definite."""
+        from hdl_graph_slam_tpu.ops import eig3
+        from hdl_graph_slam_tpu.registration.gicp import _inv3x3
+
+        rng = np.random.default_rng(24)
+        # thin arcs: points along slightly curved lines at random orientations
+        covs = []
+        for _ in range(200):
+            t = rng.uniform(0, 1.2, 40)
+            pts = np.stack([t, 0.02 * t * t, 1e-4 * rng.standard_normal(40)], 1)
+            Q = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+            pts = pts @ Q.T
+            covs.append(np.cov(pts.T))
+        A = jnp.asarray(np.stack(covs), jnp.float32)
+        R = np.asarray(eig3.floor_regularize(A)).astype(np.float64)
+        lams = np.linalg.eigvalsh(R)
+        # PD with at least half the guard to spare, for every cell
+        assert (lams[:, 0] >= 0.5e-3 * lams[:, 2]).all(), lams[:, 0].min()
+        icovs = np.asarray(_inv3x3(jnp.asarray(R, jnp.float32) + 1e-6 * jnp.eye(3, dtype=jnp.float32)))
+        ilams = np.linalg.eigvalsh(icovs.astype(np.float64))
+        assert (ilams[:, 0] > 0).all(), ilams[:, 0].min()
+
+    def test_ndt_score_finite_under_indefinite_icov(self):
+        """Belt for the same failure: even with a deliberately indefinite
+        icov row, the NDT score and analytic derivatives must stay finite
+        (the Mahalanobis form is clamped at 0) — a -inf score makes the
+        Newton loop false-converge at iteration 1."""
+        import jax
+
+        from hdl_graph_slam_tpu.registration import ndt
+
+        N, K = 64, 7
+        rng = np.random.default_rng(25)
+        moved = jnp.asarray(rng.standard_normal((N, 3)) * 5.0, jnp.float32)
+        means = jnp.asarray(rng.standard_normal((N, K, 3)) * 5.0, jnp.float32)
+        icovs = np.tile(np.eye(3, dtype=np.float32), (N, K, 1, 1))
+        icovs[0, 0] = np.diag([-9.8e4, 2.5, 128.0]).astype(np.float32)  # the observed bad row
+        found = jnp.ones((N, K), bool)
+        mask = jnp.ones((N,), bool)
+        d1 = jnp.float32(-4.1965)
+        d2 = jnp.float32(0.2484)
+        g, H, score = ndt.score_derivatives(d1, d2, moved, mask, means, jnp.asarray(icovs), found)
+        assert np.isfinite(float(score)), float(score)
+        assert np.isfinite(np.asarray(g)).all() and np.isfinite(np.asarray(H)).all()
 
 
 class TestSmallSolve:

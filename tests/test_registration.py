@@ -457,3 +457,26 @@ class TestProcrustesRotation:
             Rref = svd_ref(S)
             assert abs(np.linalg.det(R) - 1.0) < 1e-6
             np.testing.assert_allclose(R, Rref, atol=5e-4), S
+
+    def test_degenerate_cross_covariance_stays_on_so3(self):
+        """Round-5 regression: S ~ 0 (every ICP correspondence lost) used to
+        collapse both eigenvector fallbacks onto +z, cross(v3, v1) == 0, and
+        the returned 'rotation' was SINGULAR — silently poisoning the pose
+        chain (det err 0.065 caught by the r5 bench guards). Zero, rank-1,
+        z-aligned-rank-1 and tiny-noise cross-covariances must all return a
+        proper rotation (identity for the no-information cases)."""
+        from hdl_graph_slam_tpu.registration.icp import procrustes_rotation
+
+        rng = np.random.default_rng(5)
+        z = np.zeros((3, 3))
+        rank1 = np.outer([0.0, 0.0, 1.0], [0.0, 0.0, 1.0])  # v1 == fallback z
+        rank1b = np.outer([1.0, 0.0, 0.0], [0.6, 0.8, 0.0])
+        tiny = rng.normal(size=(3, 3)) * 1e-14
+        for S in (z, rank1, rank1b, tiny):
+            R = np.asarray(procrustes_rotation(jnp.asarray(S, jnp.float32)))
+            assert np.isfinite(R).all(), S
+            assert abs(np.linalg.det(R) - 1.0) < 1e-4, (S, R)
+            assert np.abs(R @ R.T - np.eye(3)).max() < 1e-4, (S, R)
+        np.testing.assert_allclose(
+            np.asarray(procrustes_rotation(jnp.asarray(z, jnp.float32))), np.eye(3), atol=1e-6
+        )
