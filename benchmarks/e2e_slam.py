@@ -139,7 +139,11 @@ def main():
     cfg_async = _dc.replace(cfg, backend=_dc.replace(cfg.backend, graph_update_interval=1e18))
     pipe2 = SlamPipeline(cfg_async, cloud_capacity=4096, device_odometry=True)
     t0 = time.perf_counter()
-    with AsyncBackend(pipe2.slam, interval=1.0):
+    # reference cadence: one backend cycle per 3 s of wall time
+    # (launch/hdl_graph_slam.launch:168); a 1 s interval both exceeded the
+    # reference's backend load 3x AND starved the frontend of the single
+    # tunnel connection (measured 0.49 fps at interval=1.0)
+    with AsyncBackend(pipe2.slam, interval=3.0):
         for i, scan in enumerate(frames):
             pipe2.process_frame(0.1 * i, scan)
     front_dt = time.perf_counter() - t0
@@ -160,18 +164,18 @@ def main():
     # offline throughput mode: K frames per device dispatch (CLI --window) —
     # the tunnel's per-dispatch latency is amortized away for the frontend
     framelist = [(0.1 * i, f, None) for i, f in enumerate(frames)]
-    warm3 = SlamPipeline(cfg, cloud_capacity=4096, device_odometry=False)
-    warm3.run_windowed(list(framelist), window=16)
-    for overlap in (False, True):
+    for window, overlap in ((16, False), (16, True), (32, True)):
+        warm3 = SlamPipeline(cfg, cloud_capacity=4096, device_odometry=False)
+        warm3.run_windowed(list(framelist), window=window)
         pipe3 = SlamPipeline(cfg, cloud_capacity=4096, device_odometry=False)
         t0 = time.perf_counter()
-        pipe3.run_windowed(list(framelist), window=16, overlap_backend=overlap)
+        pipe3.run_windowed(list(framelist), window=window, overlap_backend=overlap)
         dt3 = time.perf_counter() - t0
         n_kf3, ate3 = ate_of(pipe3.slam)
         print(json.dumps({
-            "metric": "e2e_full_slam_fps_windowed" + ("_overlap" if overlap else ""),
+            "metric": f"e2e_full_slam_fps_windowed{window}" + ("_overlap" if overlap else ""),
             "value": round(len(frames) / dt3, 2),
-            "unit": "frames/s (16-frame windowed frontend + backend"
+            "unit": f"frames/s ({window}-frame windowed frontend + backend"
             + (", backend cycles overlapped on a worker thread)" if overlap else ", synchronous)"),
             "frames": len(frames),
             "keyframes": n_kf3,
