@@ -22,11 +22,14 @@ __version__ = "0.1.0"
 # Policy (PERF.md round-4 post-mortem, all numbers measured on chip):
 # - global default HIGH (bf16_3x): rel err ~2e-5, NN argmin agreement vs
 #   true f32 = 0.9993 (near-ties only) — exactness-per-cost for the bulk
-#   distance matmuls that gate behavior. Measured on the r5 headline bench:
-#   410 fps at the corrupt bf16 DEFAULT, 336 at this policy, 235 at global
-#   HIGHEST — correctness costs ~18%, carried deliberately (ops/knn.py
-#   pins the behavior-gating selections at HIGH; the already-approximate
-#   covariance-kNN selection runs at DEFAULT, see its docstring);
+#   distance matmuls. Measured on the r5 headline bench: 410 fps at the
+#   corrupt bf16 DEFAULT, ~320 at this policy, 235 at global HIGHEST —
+#   correctness costs ~22%, carried deliberately. ops/knn.py pins ALL
+#   NN-selection matmuls at HIGH: a round-5 attempt to run the
+#   covariance-kNN selection at bf16 DEFAULT (+21 fps) degraded golden
+#   course odometry 46x (0.085 -> 3.96 m ATE) — bf16 distance noise at
+#   60 m coordinate scale is larger than the inter-neighbor spacing
+#   (see ops/knn.py docstring);
 # - pose-manifold ops pin precision=HIGHEST regardless of the global flag:
 #   HIGH still drifts det(R) by 2.4e-5 per product, and pose chains compose
 #   hundreds of products. Every jit-traced pose product goes through

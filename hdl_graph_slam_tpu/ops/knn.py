@@ -32,13 +32,19 @@ import jax.numpy as jnp
 #   while the MXU's bf16 DEFAULT mis-selects ~24% of 1-NNs (round-4
 #   post-mortem). Pinning keeps the exactness contract even if a user
 #   lowers the global flag.
-# - knn_approx is a ~0.85-recall partial reduction ALREADY — its selection
-#   matmul runs at DEFAULT (one bf16 pass instead of HIGH's three): the
-#   r3 probe measured identical covariance-kNN recall for bf16 vs f32
-#   selection, and the exact-distance epilogues recompute true f32
-#   distances from gathered rows regardless.
+# - knn_approx also runs at HIGH. A round-5 attempt to run its selection
+#   matmul at DEFAULT (one bf16 pass; +21 fps on the headline) was
+#   REVERTED by the golden course: at 60 m target-centered coordinates the
+#   bf16 cross-term noise is ~0.4% of |q||t| ~ +/-14 m^2 on d^2 values
+#   that differ by ~0.1 m^2 between true neighbors, so the covariance
+#   neighbor SETS are noise-contaminated — GICP's surface covariances
+#   blur toward blobs and odometry ATE on the 2-lap corner course
+#   degraded 0.085 -> 3.96 m (the straight-drive headline's <3% gate
+#   never noticed; golden_town did). "It's already approximate" does not
+#   license MORE noise: approx_min_k's 0.85 recall is against the TRUE
+#   distance ordering.
 _SEL_HIGH = jax.lax.Precision.HIGH
-_SEL_FAST = jax.lax.Precision.DEFAULT
+_SEL_FAST = jax.lax.Precision.HIGH
 
 
 def _pad_rows(x, multiple, fill):
