@@ -100,11 +100,17 @@ def main():
             cfg.floor.height_clip_range = 1.0
             cfg.floor.floor_pts_thresh = 256
         elif mode == "gps":
-            # BASELINE config #4 analog: GPS position priors at ~1.5 m noise,
-            # stddev matched (outdoor preset gps_edge_stddev_xy=20 is for
-            # consumer fixes; this survey-ish course uses 2 m)
+            # BASELINE config #4 analog: GPS position priors at ~1.5 m noise
+            # with the reference's own outdoor weighting
+            # (hdl_graph_slam_400.launch gps_edge_stddev_xy=20): deliberately
+            # WEAK so GPS pins the global frame without locally bending the
+            # cm-consistent odometry+loop trajectory. A first run used
+            # stddev 2.0 ("noise-matched") and measured ATE 1.64 — the
+            # optimizer simply followed the noisy fixes; the reference's 10x
+            # under-weighting is the operationally correct choice and the
+            # recorded row uses it.
             cfg.backend.enable_gps = True
-            cfg.backend.gps_edge_stddev_xy = 2.0
+            cfg.backend.gps_edge_stddev_xy = 20.0
             cfg.backend.gps_edge_stddev_z = 5.0
         return cfg
 
